@@ -1,0 +1,157 @@
+"""Restoration losses (NHWC, differentiable, jit-safe).
+
+Covers the zoo's loss inventory (SURVEY.md §2.3 Losses): L1 (default
+everywhere), Charbonnier (NeRD-Rain losses.py:5-15), FFT losses in both
+flavors (MoCE loss_utils.py:139-152 stacked-real/imag L1; NeRD losses.py:44-51
+mean |fft diff|), Edge/Laplacian (loss_utils.py:155-190, losses.py:17-42),
+PSNR loss (loss_utils.py:14-33), SSIM losses (pytorch_msssim flavor),
+Focal-L1 (loss_utils.py:100-137), GAN (lsgan/bce, loss_utils.py:58-97),
+Pearson correlation (HOGformer image_restoration_model.py:241-253).
+
+FFTs run in fp32 islands regardless of activation dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from image_restoration_tpu.eval.metrics import ssim as _ssim_metric
+
+
+def l1_loss(pred, target):
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def mse_loss(pred, target):
+    return jnp.mean(jnp.square(pred - target))
+
+
+def smooth_l1_loss(pred, target, beta: float = 1.0):
+    """torch F.smooth_l1_loss (TransWeather train.py:161)."""
+    d = jnp.abs(pred - target)
+    return jnp.mean(jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta))
+
+
+def charbonnier_loss(pred, target, eps: float = 1e-3):
+    diff = pred - target
+    return jnp.mean(jnp.sqrt(diff * diff + eps * eps))
+
+
+def psnr_loss(pred, target):
+    """Negative mean-per-image PSNR (loss_utils.PSNRLoss)."""
+    mse = jnp.mean(jnp.square(pred - target), axis=tuple(range(1, pred.ndim)))
+    return -jnp.mean(10.0 * jnp.log10(1.0 / mse))
+
+
+def ssim_loss(pred, target, data_range: float = 1.0):
+    """1 - SSIM (loss_utils.SSIMloss; pytorch_msssim = gaussian, no sample cov)."""
+    return 1.0 - jnp.mean(_ssim_metric(pred, target, data_range, sample_covariance=False))
+
+
+def fft_loss(pred, target):
+    """MoCE FFTLoss: L1 over stacked real/imag of rfft2 (spatial axes)."""
+    pf = jnp.fft.rfft2(pred.astype(jnp.float32), axes=(1, 2))
+    tf = jnp.fft.rfft2(target.astype(jnp.float32), axes=(1, 2))
+    return 0.5 * (jnp.mean(jnp.abs(pf.real - tf.real)) + jnp.mean(jnp.abs(pf.imag - tf.imag)))
+
+
+def fft_abs_loss(pred, target):
+    """NeRD fftLoss: mean |fft2(x) - fft2(y)| (complex magnitude)."""
+    d = jnp.fft.fft2(pred.astype(jnp.float32), axes=(1, 2)) - jnp.fft.fft2(
+        target.astype(jnp.float32), axes=(1, 2)
+    )
+    return jnp.mean(jnp.abs(d))
+
+
+def focal_l1_loss(pred, target, gamma: float = 2.0, epsilon: float = 1e-6,
+                  alpha: float = 0.1):
+    abs_err = jnp.abs(pred - target) / alpha
+    w = jnp.log(1.0 + abs_err + epsilon) ** gamma
+    return jnp.mean(w * abs_err)
+
+
+# --- Laplacian edge loss ----------------------------------------------------
+
+_GK1D = jnp.asarray([0.05, 0.25, 0.4, 0.25, 0.05], jnp.float32)
+
+
+def _gauss_conv(img):
+    """5x5 binomial blur, replicate padding, per channel. img: (B,H,W,C)."""
+    c = img.shape[-1]
+    k2d = jnp.outer(_GK1D, _GK1D).reshape(5, 5, 1, 1)
+    k = jnp.tile(k2d, (1, 1, 1, c)).astype(img.dtype)
+    img = jnp.pad(img, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="edge")
+    dn = jax.lax.conv_dimension_numbers(img.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        img, k, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+    )
+
+
+def laplacian_highpass(x):
+    """Laplacian-of-Gaussian residual (EdgeLoss.laplacian_kernel): blur,
+    decimate by 2, zero-stuff x4, re-blur, subtract."""
+    filtered = _gauss_conv(x)
+    down = filtered[:, ::2, ::2, :]
+    up = jnp.zeros_like(filtered)
+    up = up.at[:, ::2, ::2, :].set(down * 4.0)
+    return x - _gauss_conv(up)
+
+
+def edge_loss(pred, target, criterion: str = "charbonnier"):
+    lp, lt = laplacian_highpass(pred), laplacian_highpass(target)
+    if criterion == "l1":
+        return jnp.mean(jnp.abs(lp - lt))
+    if criterion == "l2":
+        return jnp.mean(jnp.square(lp - lt))
+    return charbonnier_loss(lp, lt)
+
+
+def gan_loss(logits, target_is_real: bool, use_lsgan: bool = True):
+    t = jnp.full_like(logits, 1.0 if target_is_real else 0.0)
+    if use_lsgan:
+        return jnp.mean(jnp.square(logits - t))
+    p = jnp.clip(logits, 1e-7, 1 - 1e-7)
+    return -jnp.mean(t * jnp.log(p) + (1 - t) * jnp.log(1 - p))
+
+
+def pearson_loss(pred, target, eps: float = 1e-8):
+    """1 - Pearson correlation over flattened images (HOGformer recipe)."""
+    p = pred.reshape(pred.shape[0], -1)
+    t = target.reshape(target.shape[0], -1)
+    p = p - jnp.mean(p, axis=1, keepdims=True)
+    t = t - jnp.mean(t, axis=1, keepdims=True)
+    num = jnp.sum(p * t, axis=1)
+    den = jnp.sqrt(jnp.sum(p * p, axis=1) * jnp.sum(t * t, axis=1)) + eps
+    return jnp.mean(1.0 - num / den)
+
+
+LOSSES = {
+    "l1": l1_loss,
+    "l2": mse_loss,
+    "mse": mse_loss,
+    "smooth_l1": smooth_l1_loss,
+    "charbonnier": charbonnier_loss,
+    "psnr": psnr_loss,
+    "ssim": ssim_loss,
+    "fft": fft_loss,
+    "fft_abs": fft_abs_loss,
+    "focal_l1": focal_l1_loss,
+    "edge": edge_loss,
+    "pearson": pearson_loss,
+}
+
+
+def weighted_loss(terms):
+    """Compose {name: weight} into one callable(pred, target)."""
+
+    def fn(pred, target):
+        total = 0.0
+        logs = {}
+        for name, w in terms.items():
+            v = LOSSES[name](pred, target)
+            logs[name] = v
+            total = total + w * v
+        return total, logs
+
+    return fn

@@ -1,0 +1,147 @@
+"""Single training runtime for every model family.
+
+The reference has three training harnesses (Lightning, BasicSR iteration
+loop, hand-rolled epoch loops — SURVEY.md §1 L4); here there is ONE: a
+functional train step jitted over a Mesh. Gradient all-reduce is implicit in
+the batch sharding (the DDP replacement); MoE aux losses flow out of the
+model as a second output instead of Lightning's ``find_unused_parameters``
+machinery; EMA is a pytree map inside the step (BasicSR model_ema,
+image_restoration_model.py:200-222).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from image_restoration_tpu.train.losses import weighted_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any = None
+
+    @classmethod
+    def create(cls, params, tx, ema_decay: float | None = None):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            ema_params=jax.tree.map(jnp.copy, params) if ema_decay else None,
+        )
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    learning_rate: Any = 2e-4              # float or step->lr schedule
+    weight_decay: float = 0.0
+    betas: tuple = (0.9, 0.999)
+    grad_clip: float | None = None          # max global norm (BasicSR uses 0.01)
+    ema_decay: float | None = None          # e.g. 0.999
+    loss: Mapping[str, float] = dataclasses.field(default_factory=lambda: {"l1": 1.0})
+    aux_loss_weight: float = 0.0            # MoE balance loss weight (MoCE: 0.01)
+    optimizer: str = "adamw"
+
+
+def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
+    opt = {
+        "adamw": lambda: optax.adamw(cfg.learning_rate, b1=cfg.betas[0],
+                                     b2=cfg.betas[1], weight_decay=cfg.weight_decay),
+        "adam": lambda: optax.adam(cfg.learning_rate, b1=cfg.betas[0], b2=cfg.betas[1]),
+        "sgd": lambda: optax.sgd(cfg.learning_rate, momentum=0.9),
+    }[cfg.optimizer]()
+    chain = []
+    if cfg.grad_clip:
+        # non-finite-tolerant clip (the reference's error_if_nonfinite=False,
+        # image_restoration_model.py:319): zero out non-finite grads first.
+        chain.append(optax.zero_nans())
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    chain.append(opt)
+    return optax.chain(*chain)
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg: TrainerConfig,
+    mesh: Mesh | None = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    The model's apply may return either ``pred`` or ``(pred, aux)`` where
+    ``aux`` is a dict that can carry ``aux_loss`` (MoE balance) and extra
+    outputs (side heads). Batch: dict with 'lq' (degraded) and 'gt', NHWC,
+    sharded over the mesh 'data' axis.
+    """
+    loss_fn = weighted_loss(dict(cfg.loss))
+
+    def step_fn(state: TrainState, batch, rng):
+        def compute_loss(params):
+            out = model.apply({"params": params}, batch["lq"],
+                              rngs={"moe": rng} if rng is not None else None)
+            aux = {}
+            if isinstance(out, tuple):
+                out, aux = out
+            total, logs = loss_fn(out, batch["gt"])
+            if cfg.aux_loss_weight and "aux_loss" in aux:
+                total = total + cfg.aux_loss_weight * aux["aux_loss"]
+                logs["aux"] = aux["aux_loss"]
+            logs["total"] = total
+            return total, logs
+
+        (loss, logs), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            d = cfg.ema_decay
+            ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p, ema, params)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state, ema_params=ema)
+        return new_state, logs
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        batch_sh = {"lq": data, "gt": data}
+        return jax.jit(
+            step_fn,
+            in_shardings=(repl, batch_sh, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, mesh: Mesh | None = None, use_ema: bool = False):
+    def eval_fn(state: TrainState, lq):
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        out = model.apply({"params": params}, lq)
+        if isinstance(out, tuple):
+            out = out[0]
+        return jnp.clip(out, 0.0, 1.0)
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(eval_fn, in_shardings=(repl, data), out_shardings=data)
+    return jax.jit(eval_fn)
+
+
+def shard_batch(batch, mesh: Mesh):
+    sh = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, NamedSharding(mesh, P()))

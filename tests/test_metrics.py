@@ -1,0 +1,151 @@
+"""Metrics vs ground-truth reimplementations of the reference protocols
+(skimage structural_similarity / basicsr psnr_ssim; scipy+cv2 stand in for
+the originals, which are not installed here)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+scipy = pytest.importorskip("scipy")
+from scipy.ndimage import gaussian_filter  # noqa: E402
+
+
+def _skimage_ssim_ref(a, b, data_range=1.0):
+    """Faithful replication of skimage.metrics.structural_similarity with
+    gaussian_weights=True (win 11, sigma 1.5, truncate 3.5, sample cov)."""
+    win = 11
+    np_ = win * win
+    cov_norm = np_ / (np_ - 1)
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+    f = lambda x: gaussian_filter(x, sigma=1.5, truncate=3.5)
+    vals = []
+    for ch in range(a.shape[-1]):
+        x, y = a[..., ch].astype(np.float64), b[..., ch].astype(np.float64)
+        ux, uy = f(x), f(y)
+        vx = cov_norm * (f(x * x) - ux * ux)
+        vy = cov_norm * (f(y * y) - uy * uy)
+        vxy = cov_norm * (f(x * y) - ux * uy)
+        s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux**2 + uy**2 + c1) * (vx + vy + c2))
+        pad = (win - 1) // 2
+        vals.append(s[pad:-pad, pad:-pad].mean())
+    return float(np.mean(vals))
+
+
+def _basicsr_ssim_ref(a, b):
+    """Replication of basicsr psnr_ssim._ssim (0-255, no sample cov)."""
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    kernel = cv2.getGaussianKernel(11, 1.5)
+    window = np.outer(kernel, kernel.T)
+    vals = []
+    for ch in range(a.shape[-1]):
+        x, y = a[..., ch].astype(np.float64), b[..., ch].astype(np.float64)
+        mu1 = cv2.filter2D(x, -1, window)[5:-5, 5:-5]
+        mu2 = cv2.filter2D(y, -1, window)[5:-5, 5:-5]
+        s1 = cv2.filter2D(x * x, -1, window)[5:-5, 5:-5] - mu1**2
+        s2 = cv2.filter2D(y * y, -1, window)[5:-5, 5:-5] - mu2**2
+        s12 = cv2.filter2D(x * y, -1, window)[5:-5, 5:-5] - mu1 * mu2
+        m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / ((mu1**2 + mu2**2 + c1) * (s1 + s2 + c2))
+        vals.append(m.mean())
+    return float(np.mean(vals))
+
+
+@pytest.fixture
+def pair(rng):
+    a = rng.random((2, 40, 52, 3), dtype=np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+    return a, b
+
+
+def test_psnr(pair):
+    from image_restoration_tpu.eval.metrics import psnr
+
+    a, b = pair
+    got = np.asarray(psnr(b, a))
+    for i in range(a.shape[0]):
+        mse = np.mean((a[i].astype(np.float64) - b[i]) ** 2)
+        ref = 10 * np.log10(1.0 / mse)
+        np.testing.assert_allclose(got[i], ref, rtol=1e-4)
+
+
+def test_ssim_skimage_flavor(pair):
+    from image_restoration_tpu.eval.metrics import ssim
+
+    a, b = pair
+    got = np.asarray(ssim(b, a))
+    for i in range(a.shape[0]):
+        ref = _skimage_ssim_ref(b[i], a[i])
+        np.testing.assert_allclose(got[i], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ssim_basicsr_flavor(pair):
+    from image_restoration_tpu.eval.metrics import ssim
+
+    a, b = pair
+    got = np.asarray(ssim(b * 255, a * 255, data_range=255.0, sample_covariance=False))
+    for i in range(a.shape[0]):
+        ref = _basicsr_ssim_ref(b[i] * 255, a[i] * 255)
+        np.testing.assert_allclose(got[i], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_masked_metrics(pair):
+    from image_restoration_tpu.eval.metrics import masked_psnr, masked_ssim
+
+    a, b = pair
+    mask = np.ones_like(a)
+    # with an all-ones mask, masked PSNR == plain per-image MSE psnr
+    got = np.asarray(masked_psnr(b, a, mask))
+    mse = ((a.astype(np.float64) - b) ** 2).mean(axis=(1, 2, 3))
+    np.testing.assert_allclose(got, 10 * np.log10(1 / mse), rtol=1e-4)
+    got = np.asarray(masked_ssim(b, a, mask))
+    for i in range(a.shape[0]):
+        np.testing.assert_allclose(got[i], _skimage_ssim_ref(b[i], a[i]), rtol=1e-4, atol=1e-5)
+
+
+def test_y_channel(pair):
+    from image_restoration_tpu.eval.metrics import psnr_yc, rgb_to_y
+
+    a, b = pair
+    y = np.asarray(rgb_to_y(a))
+    ref_y = (
+        a @ np.array([65.481, 128.553, 24.966]) / 255.0 + 16.0 / 255.0
+    )[..., None]
+    np.testing.assert_allclose(y, ref_y, rtol=1e-4, atol=1e-5)
+    got = np.asarray(psnr_yc(b, a, crop_border=4))
+    ya, yb = ref_y[:, 4:-4, 4:-4], np.asarray(rgb_to_y(b))[:, 4:-4, 4:-4]
+    mse = ((ya - yb) ** 2).mean(axis=(1, 2, 3))
+    np.testing.assert_allclose(got, 10 * np.log10(1 / mse), rtol=1e-3)
+
+
+def test_window_roundtrip(rng):
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.eval.tiled import (
+        pad_test,
+        window_partition,
+        window_reverse,
+        windowed_apply,
+    )
+
+    for h, w in [(64, 64), (70, 64), (64, 70), (75, 83), (32, 32)]:
+        x = jnp.asarray(rng.random((2, h, w, 3), dtype=np.float32))
+        wins, meta = window_partition(x, 32)
+        assert wins.shape[1:3] == (32, 32)
+        back = window_reverse(wins, meta)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+        # windowed_apply with identity == identity, any chunking
+        out = windowed_apply(lambda t: t, x, 32, max_batch=3)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+    x = jnp.asarray(rng.random((1, 37, 45, 3), dtype=np.float32))
+    out = pad_test(lambda t: t * 2.0, x, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0)
+
+
+def test_chop_apply(rng):
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.eval.tiled import chop_apply
+
+    x = jnp.asarray(rng.random((1, 48, 64, 3), dtype=np.float32))
+    out = chop_apply(lambda t: t, x, min_size=24 * 24, shave=4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
