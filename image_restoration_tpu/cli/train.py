@@ -1,0 +1,173 @@
+"""Training entry point — the `src/train.py` surface of the reference zoo
+(MoCE-IR-main/src/train.py:92-148 call stack, SURVEY.md §3.1), TPU-native:
+one process per host, pjit data parallelism over the mesh instead of
+Lightning DDP, on-device noise synthesis, orbax checkpoints with auto-resume.
+
+Usage:
+  python -m image_restoration_tpu.cli.train --model restormer \
+      --data_file_dir data/ --de_type derain --patch_size 128 --batch_size 8
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_model(cfg):
+    from image_restoration_tpu.models import get_model
+
+    kwargs = dict(cfg.get("model_kwargs", {}))
+    # lists from YAML/CLI -> tuples for flax static fields
+    kwargs = {k: tuple(v) if isinstance(v, list) else v for k, v in kwargs.items()}
+    if cfg.get("bf16", True):
+        kwargs.setdefault("dtype", jnp.bfloat16)
+    return get_model(cfg["model"], **kwargs)
+
+
+def build_dataset(cfg):
+    from image_restoration_tpu.data.datasets import AIOTrainDataset, CDD11, PairedFolderDataset
+
+    kind = cfg.get("trainset", "aio")
+    if kind == "aio":
+        return AIOTrainDataset(cfg["data_file_dir"], cfg["de_type"],
+                               cfg["patch_size"], seed=cfg.get("seed", 0))
+    if kind == "cdd11":
+        return CDD11(cfg["data_file_dir"], "train", cfg.get("cdd11_split", "all"),
+                     cfg["patch_size"], seed=cfg.get("seed", 0))
+    if kind == "paired":
+        ds = PairedFolderDataset(cfg["lq_dir"], cfg["gt_dir"])
+        return _PatchWrapper(ds, cfg["patch_size"], cfg.get("seed", 0))
+    raise ValueError(kind)
+
+
+class _PatchWrapper:
+    """Random-crop+augment adapter over a full-image paired dataset."""
+
+    def __init__(self, ds, patch, seed):
+        from image_restoration_tpu.data.augment import paired_random_crop, random_augmentation
+
+        self.ds, self.patch = ds, patch
+        self.rng = np.random.default_rng(seed)
+        self._crop, self._aug = paired_random_crop, random_augmentation
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i):
+        item = self.ds[i]
+        lq, gt = self._crop(item["lq"], item["gt"], self.patch, self.rng)
+        lq, gt = self._aug(lq, gt, rng=self.rng)
+        item = dict(item, lq=lq, gt=gt)
+        return item
+
+
+def make_lr_schedule(cfg, steps_per_epoch: int):
+    from image_restoration_tpu.train import schedulers as S
+
+    total = cfg.get("max_steps") or cfg["epochs"] * steps_per_epoch
+    name = cfg.get("scheduler", "linear_warmup_cosine")
+    if name == "linear_warmup_cosine":
+        return S.linear_warmup_cosine(cfg["lr"], cfg.get("warmup_epochs", 15) * steps_per_epoch,
+                                      total, eta_min=1e-6), total
+    if name == "cosine":
+        return S.cosine_annealing(cfg["lr"], total, eta_min=1e-6), total
+    if name == "cosine_restart_cyclic":
+        sc = cfg.get("scheduler_kwargs", {})
+        return S.cosine_annealing_restart_cyclic(cfg["lr"], **sc), total
+    if name == "multistep":
+        sc = cfg.get("scheduler_kwargs", {"milestones": [total // 2, total * 3 // 4]})
+        return S.multistep(cfg["lr"], **sc), total
+    return S.SCHEDULES[name](cfg["lr"]), total
+
+
+def main(argv=None, max_steps_override: int | None = None):
+    from image_restoration_tpu.core.mesh import make_mesh
+    from image_restoration_tpu.data.degradations import degrade_batch
+    from image_restoration_tpu.data.pipeline import Loader, make_train_iterator
+    from image_restoration_tpu.train.checkpoint import CheckpointManager
+    from image_restoration_tpu.train.trainer import (
+        TrainerConfig, TrainState, make_optimizer, make_train_step, replicate,
+    )
+    from image_restoration_tpu.utils.logging import MessageLogger, count_params
+    from image_restoration_tpu.utils.options import dump_effective_config, parse_options
+
+    cfg = parse_options(argv)
+    exp_dir = os.path.join(cfg["ckpt_dir"], cfg["name"])
+    os.makedirs(exp_dir, exist_ok=True)
+    dump_effective_config(cfg, os.path.join(exp_dir, "config.yaml"))
+
+    if cfg.get("mesh"):
+        mesh_shape = tuple(cfg["mesh"])
+        axes = ("data", "expert", "spatial")[: len(mesh_shape)]
+        mesh = make_mesh(mesh_shape, axes)
+    else:
+        # pure-DP default: data axis = largest divisor of batch_size that
+        # also divides the device count (small smoke batches still shard)
+        import math
+
+        n = len(jax.devices())
+        d = math.gcd(cfg["batch_size"], n)
+        mesh = make_mesh((d,), ("data",), devices=jax.devices()[:d])
+
+    model = build_model(cfg)
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg["batch_size"], seed=cfg.get("seed", 0),
+                    num_threads=cfg.get("num_workers", 8))
+    steps_per_epoch = max(len(loader), 1)
+    lr_sched, total_steps = make_lr_schedule(cfg, steps_per_epoch)
+    if max_steps_override:
+        total_steps = max_steps_override
+
+    tcfg = TrainerConfig(
+        learning_rate=lr_sched, weight_decay=cfg.get("weight_decay", 0.0),
+        grad_clip=cfg.get("grad_clip"), ema_decay=cfg.get("ema_decay"),
+        loss=cfg["loss"], aux_loss_weight=cfg.get("aux_loss_weight", 0.0),
+    )
+    tx = make_optimizer(tcfg)
+
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+    sample = next(iter(loader.epoch(0)))
+    init_x = jnp.asarray(sample["lq"][:1])
+    params = model.init(rng, init_x)["params"]
+    print(f"model={cfg['model']} params={count_params(params)/1e6:.2f}M "
+          f"total_steps={total_steps}")
+    state = TrainState.create(params, tx, ema_decay=tcfg.ema_decay)
+
+    ckpt = CheckpointManager(os.path.join(exp_dir, "ckpt"),
+                             save_every=cfg.get("save_every", 1000))
+    start_step = 0
+    if cfg.get("resume"):
+        restored, step = ckpt.restore(state)
+        if restored is not None:
+            state, start_step = restored, step
+            print(f"resumed from step {step}")
+
+    logger = MessageLogger(exp_dir, total_steps, use_tb=cfg.get("tb"),
+                           use_wandb=cfg.get("wandb"))
+    step_fn = make_train_step(model, tx, tcfg, mesh=mesh)
+
+    with mesh:
+        state = replicate(state, mesh)
+        it = make_train_iterator(loader, mesh,
+                                 start_epoch=start_step // steps_per_epoch)
+        degrade = jax.jit(degrade_batch)
+        for step in range(start_step, total_steps):
+            batch = next(it)
+            key = jax.random.fold_in(rng, step)
+            batch = degrade(key, batch)
+            state, logs = step_fn(state, {"lq": batch["lq"], "gt": batch["gt"]},
+                                  jax.random.fold_in(key, 1))
+            if step % cfg.get("log_every", 100) == 0 or step == total_steps - 1:
+                logger.log(step, {k: v for k, v in logs.items()})
+            ckpt.save(step + 1, jax.device_get(state))
+        ckpt.save(total_steps, jax.device_get(state), force=True)
+    print(f"done: {total_steps} steps; checkpoints in {exp_dir}/ckpt")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,21 @@ class CheckpointManager:
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
         return restored, step
 
+    def restore_raw(self, step: int | None = None):
+        """Restore as a raw nested dict (no template needed) — for eval-time
+        param loading where the optimizer structure is unknown.
+
+        Restores onto the host CPU: per-array device_put through a remote
+        TPU tunnel costs a full RTT each, so materialize on host and let the
+        first jitted call ship everything in one program."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None, None
+        cpu = [d for d in jax.devices("cpu")] or jax.devices()
+        with jax.default_device(cpu[0]):
+            restored = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        return jax.tree.map(np.asarray, restored), step
+
 
 def save_params_npz(path: str, params: Any):
     """Flat .npz export (portable, torch-free) of a params pytree."""

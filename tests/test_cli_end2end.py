@@ -1,0 +1,120 @@
+"""End-to-end CLI smoke: synth dataset on disk -> train a few steps ->
+benchmark eval through the test CLI (the reference zoo's day-to-day flow)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _write_img(path, rng, size=64):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+    return arr
+
+
+def _save(path, arr):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr.astype(np.uint8)).save(path)
+
+
+@pytest.fixture
+def data_root(tmp_path, rng):
+    root = tmp_path / "data"
+    for i in range(4):
+        clean = _write_img(str(root / f"deraining/RainTrainL/gt/norain-{i}.png"), rng)
+        noisy = np.clip(clean.astype(int) + rng.integers(-30, 30, clean.shape), 0, 255)
+        _save(str(root / f"deraining/RainTrainL/rainy/norain-{i}.png"), noisy)
+    for i in range(2):
+        clean = _write_img(str(root / f"deraining/Rain100L/target/{i}.png"), rng)
+        noisy = np.clip(clean.astype(int) + rng.integers(-30, 30, clean.shape), 0, 255)
+        _save(str(root / f"deraining/Rain100L/input/{i}.png"), noisy)
+        _write_img(str(root / f"denoising/bsd68/{i}.png"), rng)
+    return str(root)
+
+
+def test_train_then_eval(data_root, tmp_path):
+    from image_restoration_tpu.cli import test as test_cli
+    from image_restoration_tpu.cli import train as train_cli
+
+    ckpt_dir = str(tmp_path / "exp")
+    argv = [
+        "--model", "restormer", "--data_file_dir", data_root,
+        "--trainset", "aio", "--de_type", "derain",
+        "--patch_size", "32", "--batch_size", "2", "--epochs", "1",
+        "--lr", "1e-3", "--ckpt_dir", ckpt_dir, "--name", "t",
+        "--save_every", "2", "--log_every", "1", "--fp32",
+        "--set", "model_kwargs.dim=8",
+        "--set", "model_kwargs.num_blocks=(1,1,1,1)",
+        "--set", "model_kwargs.num_refinement_blocks=1",
+    ]
+    train_cli.main(argv, max_steps_override=4)
+    ckpt_path = os.path.join(ckpt_dir, "t", "ckpt")
+    assert os.path.isdir(ckpt_path)
+    assert os.path.exists(os.path.join(ckpt_dir, "t", "config.yaml"))
+    assert os.path.exists(os.path.join(ckpt_dir, "t", "metrics.jsonl"))
+
+    out_dir = str(tmp_path / "results")
+    argv = [
+        "--model", "restormer", "--data_file_dir", data_root,
+        "--ckpt", ckpt_path, "--benchmarks", "derain", "denoise_25",
+        "--output_dir", out_dir, "--fp32",
+        "--set", "model_kwargs.dim=8",
+        "--set", "model_kwargs.num_blocks=(1,1,1,1)",
+        "--set", "model_kwargs.num_refinement_blocks=1",
+    ]
+    results = test_cli.main(argv)
+    assert "derain" in results and "denoise_25" in results
+    assert results["derain"]["n"] == 2
+    assert 5 < results["derain"]["psnr"] < 60
+    data = json.load(open(os.path.join(out_dir, "results.json")))
+    assert data["derain"]["psnr"] == results["derain"]["psnr"]
+
+
+def test_resume(data_root, tmp_path):
+    from image_restoration_tpu.cli import train as train_cli
+
+    ckpt_dir = str(tmp_path / "exp2")
+    base = [
+        "--model", "restormer", "--data_file_dir", data_root,
+        "--trainset", "aio", "--de_type", "derain",
+        "--patch_size", "32", "--batch_size", "2", "--epochs", "1",
+        "--ckpt_dir", ckpt_dir, "--name", "t", "--save_every", "2", "--fp32",
+        "--set", "model_kwargs.dim=8",
+        "--set", "model_kwargs.num_blocks=(1,1,1,1)",
+        "--set", "model_kwargs.num_refinement_blocks=1",
+    ]
+    train_cli.main(base, max_steps_override=2)
+    state = train_cli.main(base + ["--resume"], max_steps_override=4)
+    assert int(state.step) == 4
+
+
+def test_aio_denoise_on_device(data_root):
+    """Synthetic denoise tasks: lq==gt from disk, sigma>0, noise on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.data.datasets import AIOTrainDataset
+    from image_restoration_tpu.data.degradations import degrade_batch
+    from image_restoration_tpu.data.pipeline import Loader
+
+    # reuse the derain gt folder as a clean-denoise source
+    ds = AIOTrainDataset(
+        data_root, ["denoise_25"], patch_size=32,
+        specs={"denoise_25": __import__(
+            "image_restoration_tpu.data.datasets", fromlist=["TaskSpec"]
+        ).TaskSpec("denoise_25", None, "deraining/RainTrainL/gt", repeat=3, sigma=25)},
+    )
+    assert len(ds) == 12  # 4 images x3 oversample
+    loader = Loader(ds, batch_size=4, num_threads=2)
+    batch = next(iter(loader.epoch(0)))
+    np.testing.assert_array_equal(batch["lq"], batch["gt"])
+    assert (batch["sigma"] == 25).all()
+    out = degrade_batch(jax.random.PRNGKey(0), jax.tree.map(jnp.asarray,
+                        {k: v for k, v in batch.items() if k != "name"}))
+    diff = np.abs(np.asarray(out["lq"]) - batch["gt"])
+    assert 0.01 < diff.mean() < 0.1  # sigma 25/255 noise got applied
+    np.testing.assert_array_equal(np.asarray(out["gt"]), batch["gt"])
