@@ -27,11 +27,14 @@ from image_restoration_tpu.ops.resample import Downsample, Upsample, resize_bili
 
 
 class ChannelCrossAttention(nn.Module):
-    """MDTA-style CxC cross attention: q from x, k/v from y (model.py:177-232)."""
+    """MDTA-style CxC cross attention: q from x, k/v from y (AdaIR
+    model.py:177-232 with 3x3 kv dwconv; MoCE-IR's mixer uses 7x7,
+    moce_ir_orignal.py:270-304 — set ``kv_kernel``)."""
 
     dim: int
     num_heads: int
     use_bias: bool = False
+    kv_kernel: int = 3
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -46,8 +49,8 @@ class ChannelCrossAttention(nn.Module):
         q = Conv(c, 1, use_bias=self.use_bias, name="q", **kw)(x)
         q = Conv(c, 3, padding=1, groups=c, use_bias=self.use_bias, name="q_dwconv", **kw)(q)
         kv = Conv(c * 2, 1, use_bias=self.use_bias, name="kv", **kw)(y)
-        kv = Conv(c * 2, 3, padding=1, groups=c * 2, use_bias=self.use_bias,
-                  name="kv_dwconv", **kw)(kv)
+        kv = Conv(c * 2, self.kv_kernel, padding=self.kv_kernel // 2, groups=c * 2,
+                  use_bias=self.use_bias, name="kv_dwconv", **kw)(kv)
         k, v = jnp.split(kv, 2, axis=-1)
 
         def split_heads(t):

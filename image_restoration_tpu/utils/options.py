@@ -31,9 +31,13 @@ MODEL_DEFAULTS: Dict[str, Dict[str, Any]] = {
                       num_refinement_blocks=4, ffn_expansion_factor=2.66),
     "adair": dict(dim=48, num_blocks=[4, 6, 6, 8], heads=[1, 2, 4, 8],
                   num_refinement_blocks=4),
-    "moce_ir": dict(dim=48, num_blocks=[4, 6, 6, 8], num_dec_blocks=[2, 4, 4],
-                    heads=[1, 2, 4, 8], num_refinement_blocks=4, topk=1,
-                    num_experts=4, rank=16, with_complexity=True),
+    # MoCE_IR (big) per MoCE-IR-main/src/options.py:69-84; MoCE_IR_S is dim=32
+    "moce_ir": dict(dim=48, levels=4, num_blocks=[4, 6, 6, 8],
+                    num_dec_blocks=[2, 4, 4], heads=[1, 2, 4, 8],
+                    num_refinement_blocks=4, topk=1, num_experts=4, rank=2,
+                    stage_depth=[1, 1, 1], rank_type="spread",
+                    depth_type="constant", with_complexity=True,
+                    complexity_scale="max"),
     "transweather": dict(),
     "srconvnet": dict(dim=64, n_blocks=10, num_heads=8, scale=4),
     "darkir": dict(width=32, enc_blk_nums=[1, 2, 3], middle_blk_num=3,
