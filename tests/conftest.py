@@ -46,6 +46,48 @@ def load_reference_module(relpath: str, name: str | None = None):
     return mod
 
 
+def stub_common_modules():
+    """Stub heavy/unavailable deps (fvcore, timm, ptflops) the reference
+    files import at module level only for FLOPs prints."""
+    import sys
+    import types
+
+    import torch
+
+    if "fvcore" not in sys.modules:
+        fv = types.ModuleType("fvcore")
+        fvnn = types.ModuleType("fvcore.nn")
+        fvnn.FlopCountAnalysis = object
+        fvnn.flop_count_table = lambda *a, **k: ""
+        fv.nn = fvnn
+        sys.modules["fvcore"] = fv
+        sys.modules["fvcore.nn"] = fvnn
+    if "ptflops" not in sys.modules:
+        pt = types.ModuleType("ptflops")
+        pt.get_model_complexity_info = lambda *a, **k: ("0", "0")
+        sys.modules["ptflops"] = pt
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        tm = types.ModuleType("timm.models")
+        tl = types.ModuleType("timm.models.layers")
+        tl.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
+        tl.trunc_normal_ = lambda *a, **k: None
+
+        class DropPath(torch.nn.Module):
+            def __init__(self, p=0.0):
+                super().__init__()
+                self.drop_prob = p
+
+            def forward(self, x):
+                return x
+
+        tl.DropPath = DropPath
+        tm.layers = tl
+        timm.models = tm
+        sys.modules.update({"timm": timm, "timm.models": tm,
+                            "timm.models.layers": tl})
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
