@@ -76,6 +76,41 @@ class LayerNorm(nn.Module):
         )(x)
 
 
+class BatchNorm2d(nn.Module):
+    """torch-semantics BatchNorm over NHWC channels (SFHformer.py Block/
+    FourierUnit use nn.BatchNorm2d): biased batch variance for normalization,
+    unbiased for the running update, running stats stored in 'batch_stats'
+    under torch's names so checkpoints import directly."""
+
+    eps: float = 1e-5
+    momentum: float = 0.1
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        w = self.param("weight", nn.initializers.ones, (c,), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        ra_mean = self.variable("batch_stats", "running_mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "running_var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if train:
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.var(xf, axis=(0, 1, 2))
+            if not self.is_initializing():
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unbiased = var * n / max(n - 1, 1)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (xf - mean) / jnp.sqrt(var + self.eps)
+        return (y * w + b).astype(x.dtype)
+
+
 class LayerNorm2d(nn.Module):
     """Channel LN for NAFNet-style nets (DarkIR arch_util.py:8-60), NHWC."""
 

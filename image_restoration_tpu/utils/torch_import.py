@@ -184,6 +184,32 @@ def _leaf_paths(tree, prefix=()):
     return out
 
 
+def import_variables(
+    variables: Dict[str, Any],
+    state_dict: Mapping[str, Any],
+    key_map: Callable[[str], str | None] | None = None,
+    dtype=jnp.float32,
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Like import_state_dict but fills a full flax variables dict:
+    BatchNorm running stats go to 'batch_stats', the rest to 'params'
+    (num_batches_tracked counters are dropped)."""
+    sd = strip_prefixes(state_dict)
+    if key_map is not None:
+        sd = {key_map(k): v for k, v in sd.items() if key_map(k) is not None}
+    stats = {k: v for k, v in sd.items() if k.endswith(("running_mean", "running_var"))}
+    params_sd = {
+        k: v for k, v in sd.items()
+        if k not in stats and not k.endswith("num_batches_tracked")
+    }
+    out = {"params": import_state_dict(variables["params"], params_sd,
+                                       dtype=dtype, strict=strict)}
+    if "batch_stats" in variables:
+        out["batch_stats"] = import_state_dict(variables["batch_stats"], stats,
+                                               dtype=jnp.float32, strict=strict)
+    return out
+
+
 def load_torch_checkpoint(path: str, prefer_ema: bool = False) -> Dict[str, Any]:
     """torch.load a checkpoint file on CPU and unwrap to a flat tensor dict."""
     import torch
