@@ -147,6 +147,7 @@ class RoutingFunction(nn.Module):
     complexity: Sequence[float]  # normalized expert param counts
     use_complexity_bias: bool = False
     tau: float = 1.0
+    use_freq_gate: bool = True  # IGMoCE routes on the image gate alone
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -155,9 +156,10 @@ class RoutingFunction(nn.Module):
         pooled = jnp.mean(x, axis=(1, 2))
         logits = nn.Dense(self.num_experts, use_bias=False, dtype=jnp.float32,
                           param_dtype=self.param_dtype, name="gate_2")(pooled.astype(jnp.float32))
-        logits = logits + nn.Dense(self.num_experts, use_bias=False, dtype=jnp.float32,
-                                   param_dtype=self.param_dtype, name="freq_gate")(
-            freq_emb.astype(jnp.float32))
+        if self.use_freq_gate:
+            logits = logits + nn.Dense(self.num_experts, use_bias=False, dtype=jnp.float32,
+                                       param_dtype=self.param_dtype, name="freq_gate")(
+                freq_emb.astype(jnp.float32))
         noise_std = 1.0 / self.num_experts
         rng = self.make_rng("moe") if train else None
         gates, top_idx, top_vals, noisy = noisy_topk_gates(logits, self.k, noise_std, rng)
