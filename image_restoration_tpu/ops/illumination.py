@@ -21,16 +21,18 @@ class IlluminationEstimator(nn.Module):
     n_fea_middle: int
     n_fea_in: int = 4
     n_fea_out: int = 3
+    depth_groups: int | None = None  # IGMoCE: n_fea_in(4); LumiSense: middle
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, img):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        groups = self.depth_groups if self.depth_groups is not None else self.n_fea_in
         mean_c = jnp.mean(img, axis=-1, keepdims=True)
         x = jnp.concatenate([img, mean_c], axis=-1)
         x1 = Conv(self.n_fea_middle, 1, use_bias=True, name="conv1", **kw)(x)
-        illu_fea = Conv(self.n_fea_middle, 5, padding=2, groups=self.n_fea_in,
+        illu_fea = Conv(self.n_fea_middle, 5, padding=2, groups=groups,
                         use_bias=True, name="depth_conv", **kw)(x1)
         illu_map = Conv(self.n_fea_out, 1, use_bias=True, name="conv2", **kw)(illu_fea)
         return illu_fea, illu_map
