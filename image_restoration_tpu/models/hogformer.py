@@ -1,0 +1,426 @@
+"""HOGformer, TPU-native (NHWC, flax).
+
+Re-designed from the behavior of the reference
+``HOGformer-main/settingI/basicsr/models/archs/hogformer_arch.py``:
+
+* ``Attention_DHOGSA`` (:164-309) — dual HOG-sorted attention: the first half
+  of the channels is re-ordered *within 8x8 patches* by HOG-weighted gradient
+  magnitude, enriched with a projected+upsampled HOG histogram map; then a
+  5-way qkv produces two channel-attention branches over tokens globally
+  sorted by orientation-weighted gradient magnitude — one "box" grouping
+  (contiguous token chunks per head-factor) and one strided grouping — whose
+  outputs are un-sorted and multiplied.
+* ``FFN_DIFF`` (:106-143) — pixel-shuffle FFN: mish-gated dual dwconv branches
+  (5x5 and dilated 3x3) at 2x resolution with a feature-decompose residual.
+* parameter-free LayerNorms (:28-57 — affine weight/bias are commented out in
+  the reference).
+* U-Net assembly (:367-489) with AvgPool ``SkipPatchEmbed`` image pyramids
+  injected into each encoder level (:326-339, :434-439).
+
+TPU notes: sorts are ``jnp.argsort`` (XLA sort on device); the inverse
+permutation "scatter" of the reference (:299-306) is a gather by
+``argsort(idx)``; the per-bin HOG histogram python loop (:254-258) is a
+one-hot einsum; everything is static-shape.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_restoration_tpu.models.registry import register_model
+from image_restoration_tpu.ops.common import Conv, conv2d, layer_scale_init
+from image_restoration_tpu.ops.resample import (
+    pixel_shuffle,
+    pixel_unshuffle,
+    resize_bilinear,
+)
+
+
+def _ln_plain(x, ln_type: str, eps: float = 1e-5):
+    """Parameter-free LayerNorm (hogformer_arch.py:28-57: affine disabled)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    if ln_type == "BiasFree":
+        y = xf / jnp.sqrt(var + eps)
+    else:
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        y = (xf - mu) / jnp.sqrt(var + eps)
+    return y.astype(x.dtype)
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def _sobel_kernels(c: int, dtype=jnp.float32):
+    """Depthwise Sobel kernels, HWIO with I=1 (groups=c)."""
+    sx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
+    kx = jnp.asarray(sx, dtype).reshape(3, 3, 1, 1) * jnp.ones((1, 1, 1, c), dtype)
+    ky = jnp.asarray(sx.T, dtype).reshape(3, 3, 1, 1) * jnp.ones((1, 1, 1, c), dtype)
+    return kx, ky
+
+
+def _split_patches(x, p: int):
+    """NHWC -> (B, nP, C, p*p) patch tokens (hogformer_arch.py:223-231)."""
+    b, h, w, c = x.shape
+    ph, pw = (-h) % p, (-w) % p
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    nh, nw = (h + ph) // p, (w + pw) // p
+    x = x.reshape(b, nh, p, nw, p, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, nh * nw, c, p * p)
+    return x, (h, w, nh, nw)
+
+
+def _merge_patches(x, p: int, info):
+    h, w, nh, nw = info
+    b = x.shape[0]
+    c = x.shape[2]
+    x = x.reshape(b, nh, nw, c, p, p).transpose(0, 1, 4, 2, 5, 3)
+    x = x.reshape(b, nh * p, nw * p, c)
+    return x[:, :h, :w, :]
+
+
+class ElementScale(nn.Module):
+    """Learnable per-channel scale (hogformer_arch.py:92-103)."""
+
+    dim: int
+    init_value: float = 0.0
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", layer_scale_init(self.init_value),
+                           (self.dim,), self.param_dtype)
+        return x * scale
+
+
+class FFN_DIFF(nn.Module):
+    """hogformer_arch.py:106-143."""
+
+    dim: int
+    expansion: float = 2.66
+    use_bias: bool = False
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.dim * self.expansion)
+        q = hidden // 4
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = Conv(hidden * 2, 1, use_bias=self.use_bias, name="project_in", **kw)(x)
+        x = pixel_shuffle(x, 2)  # 2h*2w, hidden//2 channels
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x1 = Conv(q, 5, padding=2, groups=q, use_bias=self.use_bias,
+                  name="dwconv_5", **kw)(x1)
+        # dilated dwconv 3x3, dilation 2, padding 2
+        x2 = nn.Conv(q, (3, 3), padding=[(2, 2), (2, 2)], kernel_dilation=(2, 2),
+                     feature_group_count=q, use_bias=self.use_bias,
+                     dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="dwconv_dilated2_1")(x2)
+        x = mish(x2) * x1
+        # feat_decompose (:127-130): x + sigma*(x - gelu(conv_1ch(x)))
+        sigma = ElementScale(q, 1e-5, self.param_dtype, name="sigma")
+        d = Conv(1, 1, use_bias=True, name="decompose", **kw)(x)
+        x = x + sigma(x - jax.nn.gelu(d, approximate=False))
+        x = pixel_unshuffle(x, 2)
+        x = Conv(self.dim, 1, use_bias=self.use_bias, name="project_out", **kw)(x)
+        return x
+
+
+class Attention_DHOGSA(nn.Module):
+    """hogformer_arch.py:164-309."""
+
+    dim: int
+    num_heads: int
+    use_bias: bool = False
+    patch_size: int = 8
+    n_bins: int = 9
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    def _reshape_attn(self, q, k, v, temperature, box: bool):
+        """Channel attention over factor-grouped tokens (:202-221).
+
+        q/k/v: (B, T, C). Box groups tokens as (factor, hw'); strided as
+        (hw', factor). Attention matrix is (c_per_head*factor)^2.
+        """
+        b, t, c = q.shape
+        f = self.num_heads
+        tp = (-t) % f
+        if tp:
+            pad = ((0, 0), (0, tp), (0, 0))
+            q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        tt = t + tp
+        hw = tt // f
+        cph = c // self.num_heads
+
+        def arrange(x):
+            if box:  # token = f_idx * hw + j
+                x = x.reshape(b, f, hw, self.num_heads, cph)
+                x = x.transpose(0, 3, 4, 1, 2)  # b, head, cph, factor, hw
+            else:  # token = j * f + f_idx
+                x = x.reshape(b, hw, f, self.num_heads, cph)
+                x = x.transpose(0, 3, 4, 2, 1)
+            return x.reshape(b, self.num_heads, cph * f, hw)
+
+        def unarrange(x):
+            x = x.reshape(b, self.num_heads, cph, f, hw)
+            if box:
+                x = x.transpose(0, 3, 4, 1, 2)  # b, factor, hw, head, cph
+            else:
+                x = x.transpose(0, 4, 3, 1, 2)  # b, hw, factor, head, cph
+            return x.reshape(b, tt, c)
+
+        qh, kh, vh = arrange(q), arrange(k), arrange(v)
+        qh = qh / jnp.maximum(jnp.linalg.norm(qh, axis=-1, keepdims=True), 1e-12)
+        kh = kh / jnp.maximum(jnp.linalg.norm(kh, axis=-1, keepdims=True), 1e-12)
+        attn = jnp.einsum("bhcT,bhdT->bhcd", qh, kh) * temperature
+        # softmax_1 (:192-195): exp / (sum(exp) + 1)
+        attn = jnp.exp(attn)
+        attn = attn / (jnp.sum(attn, axis=-1, keepdims=True) + 1.0)
+        out = jnp.einsum("bhcd,bhdT->bhcT", attn, vh)
+        return unarrange(out)[:, :t, :]
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        half = c // 2
+        p = self.patch_size
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        # --- HOG patch re-ordering of the first channel half (:241-264) ---
+        x_half = x[..., :half]
+        kx, ky = _sobel_kernels(half, x.dtype)
+        gx = conv2d(x_half, kx, padding=1, groups=half)
+        gy = conv2d(x_half, ky, padding=1, groups=half)
+        mag = jnp.sqrt(gx * gx + gy * gy + 1e-6)
+        ori = jnp.arctan2(gy, gx)
+        ori_bin = (
+            ((ori + math.pi) / (2 * math.pi) * self.n_bins).astype(jnp.int32)
+            % self.n_bins
+        )
+        p_x, info = _split_patches(x_half, p)            # (b, nP, half, pp)
+        p_mag, _ = _split_patches(mag, p)
+        p_ori, _ = _split_patches(ori_bin.astype(x.dtype), p)
+        p_bin = p_ori.astype(jnp.int32)
+        # each pixel lies in exactly one bin: the reference's per-bin loop
+        # (:254-257) reduces to mag*(bin+1) and a one-hot histogram
+        sort_values = p_mag * (p_bin + 1).astype(p_mag.dtype)
+        onehot = jax.nn.one_hot(p_bin, self.n_bins, dtype=p_mag.dtype)
+        hog = jnp.mean(p_mag[..., None] * onehot, axis=(2, 3))  # (b, nP, bins)
+        hog = hog / (jnp.sum(hog, axis=-1, keepdims=True) + 1e-8)
+        idx_patch = jnp.argsort(jnp.sum(sort_values, axis=2), axis=-1)  # (b,nP,pp)
+        p_sorted = jnp.take_along_axis(p_x, idx_patch[:, :, None, :], axis=-1)
+        x_half_p = _merge_patches(p_sorted, p, info)
+
+        _, _, nh, nw = info
+        hog_map = hog.reshape(b, nh, nw, self.n_bins)
+        hog_map = Conv(self.dim // 2, 1, use_bias=self.use_bias,
+                       name="bin_proj", **kw)(hog_map)
+        hog_map = resize_bilinear(hog_map, h, w)
+        x = jnp.concatenate([x_half_p + hog_map, x[..., half:]], axis=-1)
+
+        # --- 5-way qkv + global HOG token sort (:279-301) ---
+        qkv = Conv(self.dim * 5, 1, use_bias=self.use_bias, name="qkv", **kw)(x)
+        qkv = Conv(self.dim * 5, 3, padding=1, groups=self.dim * 5,
+                   use_bias=self.use_bias, name="qkv_dwconv", **kw)(qkv)
+        q1, k1, q2, k2, v = jnp.split(qkv, 5, axis=-1)
+        kxc, kyc = _sobel_kernels(c, x.dtype)
+        gxv = conv2d(v, kxc, padding=1, groups=c)
+        gyv = conv2d(v, kyc, padding=1, groups=c)
+        magv = jnp.sqrt(gxv * gxv + gyv * gyv + 1e-6)
+        oriv = (jnp.arctan2(gyv, gxv) + math.pi) / (2 * math.pi)
+        key = jnp.sum(magv * oriv, axis=-1).reshape(b, h * w)
+        idx = jnp.argsort(key, axis=-1)  # (b, T)
+
+        def flat_sort(t):
+            return jnp.take_along_axis(t.reshape(b, h * w, c), idx[:, :, None], axis=1)
+
+        q1, k1, q2, k2, vs = map(flat_sort, (q1, k1, q2, k2, v))
+        temperature = self.param(
+            "temperature", nn.initializers.ones, (self.num_heads, 1, 1),
+            self.param_dtype,
+        )
+        out1 = self._reshape_attn(q1, k1, vs, temperature, box=True)
+        out2 = self._reshape_attn(q2, k2, vs, temperature, box=False)
+        # reference "scatter" un-sort (:299-300) = gather by inverse perm
+        inv = jnp.argsort(idx, axis=-1)
+        out1 = jnp.take_along_axis(out1, inv[:, :, None], axis=1)
+        out2 = jnp.take_along_axis(out2, inv[:, :, None], axis=1)
+        out = (out1 * out2).reshape(b, h, w, c)
+        out = Conv(self.dim, 1, use_bias=self.use_bias, name="project_out", **kw)(out)
+
+        # un-sort the first half at patch level (:304-308)
+        p_out, info2 = _split_patches(out[..., :half], p)
+        inv_p = jnp.argsort(idx_patch, axis=-1)
+        p_out = jnp.take_along_axis(p_out, inv_p[:, :, None, :], axis=-1)
+        out_half = _merge_patches(p_out, p, info2)
+        return jnp.concatenate([out_half, out[..., half:]], axis=-1)
+
+
+class TransformerBlock(nn.Module):
+    """hogformer_arch.py:148-160."""
+
+    dim: int
+    num_heads: int
+    expansion: float = 2.66
+    use_bias: bool = False
+    ln_type: str = "WithBias"
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = x + Attention_DHOGSA(self.dim, self.num_heads, self.use_bias,
+                                 name="attn_g_spatial", **kw)(
+            _ln_plain(x, self.ln_type)
+        )
+        x = x + FFN_DIFF(self.dim, self.expansion, self.use_bias,
+                         name="ffn", **kw)(_ln_plain(x, self.ln_type))
+        return x
+
+
+class SkipPatchEmbed(nn.Module):
+    """AvgPool2 + 1x1 + dwconv3 image pyramid (hogformer_arch.py:326-339)."""
+
+    dim: int = 3
+    use_bias: bool = False
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = Conv(self.dim, 1, use_bias=self.use_bias, name="proj_1", **kw)(x)
+        x = Conv(self.dim, 3, padding=1, groups=self.dim, use_bias=self.use_bias,
+                 name="proj_2", **kw)(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """conv3 to n/2 + PixelUnshuffle(2) (hogformer_arch.py:344-352)."""
+
+    n_feat: int
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.n_feat // 2, 3, padding=1, use_bias=False, name="body_0",
+                 dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        return pixel_unshuffle(x, 2)
+
+
+class Upsample(nn.Module):
+    """conv3 to 2n + PixelShuffle(2) (hogformer_arch.py:355-363)."""
+
+    n_feat: int
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.n_feat * 2, 3, padding=1, use_bias=False, name="body_0",
+                 dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        return pixel_shuffle(x, 2)
+
+
+@register_model("hogformer")
+class HOGformer(nn.Module):
+    """hogformer_arch.py:367-489."""
+
+    inp_channels: int = 3
+    out_channels: int = 3
+    dim: int = 48
+    num_blocks: Sequence[int] = (4, 6, 6, 8)
+    num_refinement_blocks: int = 4
+    heads: Sequence[int] = (1, 2, 4, 8)
+    ffn_expansion_factor: float = 2.66
+    use_bias: bool = False
+    ln_type: str = "WithBias"
+    dual_pixel_task: bool = False
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    def _blocks(self, dim, heads, n, prefix):
+        return [
+            TransformerBlock(
+                dim=dim, num_heads=heads, expansion=self.ffn_expansion_factor,
+                use_bias=self.use_bias, ln_type=self.ln_type, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"{prefix}_{i}",
+            )
+            for i in range(n)
+        ]
+
+    @nn.compact
+    def __call__(self, inp_img):
+        d = self.dim
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = inp_img.astype(self.dtype) if self.dtype is not None else inp_img
+
+        feats = Conv(d, 3, padding=1, use_bias=False, name="patch_embed", **kw)(x)
+        enc1 = feats
+        for blk in self._blocks(d, self.heads[0], self.num_blocks[0], "encoder_level1"):
+            enc1 = blk(enc1)
+
+        x2 = Downsample(d, name="down1_2", **kw)(enc1)
+        skip1 = SkipPatchEmbed(3, False, name="skip_patch_embed1", **kw)(x)
+        x2 = Conv(d * 2, 1, use_bias=self.use_bias, name="reduce_chan_level_1",
+                  **kw)(jnp.concatenate([x2, skip1], axis=-1))
+        enc2 = x2
+        for blk in self._blocks(d * 2, self.heads[1], self.num_blocks[1], "encoder_level2"):
+            enc2 = blk(enc2)
+
+        x3 = Downsample(d * 2, name="down2_3", **kw)(enc2)
+        skip2 = SkipPatchEmbed(3, False, name="skip_patch_embed2", **kw)(skip1)
+        x3 = Conv(d * 4, 1, use_bias=self.use_bias, name="reduce_chan_level_2",
+                  **kw)(jnp.concatenate([x3, skip2], axis=-1))
+        enc3 = x3
+        for blk in self._blocks(d * 4, self.heads[2], self.num_blocks[2], "encoder_level3"):
+            enc3 = blk(enc3)
+
+        x4 = Downsample(d * 4, name="down3_4", **kw)(enc3)
+        skip3 = SkipPatchEmbed(3, False, name="skip_patch_embed3", **kw)(skip2)
+        x4 = Conv(d * 8, 1, use_bias=self.use_bias, name="reduce_chan_level_3",
+                  **kw)(jnp.concatenate([x4, skip3], axis=-1))
+        latent = x4
+        for blk in self._blocks(d * 8, self.heads[3], self.num_blocks[3], "latent"):
+            latent = blk(latent)
+
+        dec3 = Upsample(d * 8, name="up4_3", **kw)(latent)
+        dec3 = jnp.concatenate([dec3, enc3], axis=-1)
+        dec3 = Conv(d * 4, 1, use_bias=self.use_bias, name="reduce_chan_level3", **kw)(dec3)
+        for blk in self._blocks(d * 4, self.heads[2], self.num_blocks[2], "decoder_level3"):
+            dec3 = blk(dec3)
+
+        dec2 = Upsample(d * 4, name="up3_2", **kw)(dec3)
+        dec2 = jnp.concatenate([dec2, enc2], axis=-1)
+        dec2 = Conv(d * 2, 1, use_bias=self.use_bias, name="reduce_chan_level2", **kw)(dec2)
+        for blk in self._blocks(d * 2, self.heads[1], self.num_blocks[1], "decoder_level2"):
+            dec2 = blk(dec2)
+
+        dec1 = Upsample(d * 2, name="up2_1", **kw)(dec2)
+        dec1 = jnp.concatenate([dec1, enc1], axis=-1)  # stays at 2*dim: no reduce
+        for blk in self._blocks(d * 2, self.heads[0], self.num_blocks[0], "decoder_level1"):
+            dec1 = blk(dec1)
+        for blk in self._blocks(d * 2, self.heads[0], self.num_refinement_blocks, "refinement"):
+            dec1 = blk(dec1)
+
+        if self.dual_pixel_task:
+            # the reference creates skip_conv but its forward never uses it
+            # (hogformer_arch.py:441-489) — instantiate for checkpoint
+            # compatibility, discard the result (XLA DCEs it).
+            _ = Conv(d * 2, 1, use_bias=self.use_bias, name="skip_conv", **kw)(feats)
+        out = Conv(self.out_channels, 3, padding=1, use_bias=self.use_bias,
+                   name="output", **kw)(dec1)
+        return (out + x).astype(jnp.float32)
