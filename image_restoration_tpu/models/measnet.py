@@ -1,0 +1,661 @@
+"""MEASNet (multi-expert adaptive selection), TPU-native (NHWC, flax).
+
+Re-designed from the behavior of the reference ``MEASNet-main/MEASNet/net/``:
+
+* ``MEASNet.py`` — Restormer U-Net backbone (:286-361) with a dictionary-atom
+  task prompt (``Taskprompt`` :77-98), per-token noisy-top-k expert selection
+  at encoder inputs (``STPG_G_MESE``), frequency-decomposed expert mixtures at
+  decoder inputs (``FD_MEE``), and frequency cross-attention ``Block``s
+  (:230-283) that inject the input image's adaptive high/low FFT bands into
+  the decoder at every level.
+* ``STPG_G_MESE.py`` — token-level MoE: tokens = pixels, gate input =
+  [feature ; projected prompt], noisy top-2-of-6 gating (:65-84) with CV^2
+  balance losses (:60-64, :110-113); the ``ES_EE`` scatter dispatcher
+  (:7-29) combines as ``log(sum_k w_k * exp(expert_k(x)))`` — here computed
+  DENSELY (all experts on all tokens, masked sum) which is exact and
+  static-shape.
+* ``FD_MEE.py`` — ``FD`` learned per-group low-pass split (:11-39, GAP-driven
+  spatially-constant kernel = 9 shifted adds), two ``MEE`` expert mixtures
+  (StripedConv + recursive strided calibration + top-2-of-5 gated low-rank
+  experts :49-160), concat + 1x1 proj (:223-253).
+
+Reference quirks preserved: ``stpg_g_mese2/3`` outputs are computed (for the
+balance loss) but NOT fed into the encoder (MEASNet.py:330-336); Block's
+``initial_conv``/``score_generator`` and MEE's ``norm_2`` and FD's
+``lamb_l/lamb_h`` are created but unused; Block's FFT mask is empty whenever
+H < 2*segments (integer division, MEASNet.py:270).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from image_restoration_tpu.models.registry import register_model
+from image_restoration_tpu.models.restormer import TransformerBlock
+from image_restoration_tpu.ops.common import Conv, layer_scale_init
+from image_restoration_tpu.ops.layernorm import BatchNorm2d, LayerNorm2d
+from image_restoration_tpu.ops.resample import (
+    pixel_shuffle,
+    pixel_unshuffle,
+    resize_bilinear,
+)
+
+_EPS64 = 2.220446049250313e-16  # np.finfo(float).eps (STPG_G_MESE.py:26)
+
+
+def _balance(x):
+    """CV^2 with torch's unbiased var (STPG_G_MESE.py:60-64)."""
+    if x.shape[0] == 1:
+        return jnp.zeros((), x.dtype)
+    xf = x.astype(jnp.float32)
+    return jnp.var(xf, ddof=1) / (jnp.mean(xf) ** 2 + 1e-10)
+
+
+class Taskprompt(nn.Module):
+    """Dictionary-atom prompt from the degraded image (MEASNet.py:77-98)."""
+
+    atom_num: int = 32
+    atom_dim: int = 256
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = Conv(64, 3, stride=3, use_bias=True, name="CondNet_0", **kw)(x)
+        h = nn.leaky_relu(h, 0.1)
+        h = Conv(64, 3, stride=3, use_bias=True, name="CondNet_2", **kw)(h)
+        h = nn.leaky_relu(h, 0.1)
+        h = Conv(64, 1, use_bias=True, name="CondNet_4", **kw)(h)
+        h = nn.leaky_relu(h, 0.1)
+        h = Conv(64, 1, use_bias=True, name="CondNet_6", **kw)(h)
+        h = nn.leaky_relu(h, 0.1)
+        h = Conv(32, 1, use_bias=True, name="CondNet_8", **kw)(h)
+        h = jnp.mean(h, axis=(1, 2))  # GAP -> (B, 32)
+        h = nn.Dense(self.atom_num, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="lastOut")(h)
+        logits = jax.nn.softmax(h, axis=-1)
+        dictionary = self.param(
+            "dictionary", nn.initializers.normal(1.0),
+            (self.atom_num, self.atom_dim), self.param_dtype,
+        )
+        out = logits @ dictionary
+        return jax.nn.gelu(out, approximate=False)
+
+
+class _Mlp(nn.Module):
+    """Expert MLP (STPG_G_MESE.py:31-42)."""
+
+    hidden: int
+    out: int
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = nn.Dense(self.hidden, name="fc1", **kw)(x)
+        x = jax.nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, name="fc2", **kw)(x)
+
+
+class TokenMoE(nn.Module):
+    """Per-pixel noisy-top-k MLP experts (STPG_G_MESE.py:44-121).
+
+    Dense dispatch: all experts run on all tokens; combine is the reference's
+    ES_EE ``log(sum w*exp(.))`` with zero-sum positions clamped to float eps.
+    """
+
+    dim: int
+    mlp_ratio: float
+    num_experts: int = 6
+    k: int = 2
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, prompt, train: bool = False):
+        b, h, w, c = x.shape
+        tokens = x.reshape(b * h * w, c)
+        pr = jnp.broadcast_to(prompt[:, None, None, :], (b, h, w, c))
+        pr = pr.reshape(b * h * w, c)
+        xp = jnp.concatenate([tokens, pr], axis=-1)  # (T, 2C)
+
+        w_g = self.param("w_g", nn.initializers.normal(1.0),
+                         (2 * self.dim, self.num_experts), self.param_dtype)
+        w_n = self.param("w_n", nn.initializers.zeros,
+                         (2 * self.dim, self.num_experts), self.param_dtype)
+        clean = xp @ w_g
+        if train:
+            std = jax.nn.softplus(xp @ w_n) + 1e-2
+            noisy = clean + jax.random.normal(
+                self.make_rng("moe"), clean.shape, clean.dtype) * std
+        else:
+            noisy = clean
+        m = min(self.k + 1, self.num_experts)
+        top_logits, top_idx = jax.lax.top_k(noisy, m)
+        topk_gates = jax.nn.softmax(top_logits[:, : self.k], axis=-1)
+        onehot = jax.nn.one_hot(top_idx[:, : self.k], self.num_experts,
+                                dtype=topk_gates.dtype)
+        gates = jnp.einsum("tk,tke->te", topk_gates, onehot)  # (T, E)
+
+        if train and self.k < self.num_experts:
+            # smooth load via normal CDF (STPG_G_MESE.py:87-100)
+            thr_in = top_logits[:, self.k][:, None]
+            thr_out = top_logits[:, self.k - 1][:, None]
+            is_in = noisy > thr_in
+            p_in = jax.scipy.stats.norm.cdf((clean - thr_in) / std)
+            p_out = jax.scipy.stats.norm.cdf((clean - thr_out) / std)
+            load = jnp.sum(jnp.where(is_in, p_in, p_out), axis=0)
+        else:
+            load = jnp.sum((gates > 0).astype(jnp.float32), axis=0)
+        loss = _balance(jnp.sum(gates, axis=0)) + _balance(load)
+
+        # dense experts: (T, E, C) bank, weighted log-sum-exp combine
+        outs = []
+        for i in range(self.num_experts):
+            outs.append(_Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                             dtype=self.dtype, param_dtype=self.param_dtype,
+                             name=f"el_{i}")(tokens))
+        bank = jnp.stack(outs, axis=1).astype(jnp.float32)  # (T, E, C)
+        ensemble = jnp.einsum("te,tec->tc", gates.astype(jnp.float32),
+                              jnp.exp(bank))
+        ensemble = jnp.where(ensemble == 0, _EPS64, ensemble)
+        y = jnp.log(ensemble).astype(x.dtype)
+        return y.reshape(b, h, w, c), loss
+
+
+class STPG_G_MESE(nn.Module):
+    """STPG_G_MESE.py:123-131."""
+
+    atom_dim: int
+    dim: int
+    mlp_ratio: float
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, prompt, train: bool = False):
+        d = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="fc")(prompt)
+        out, loss = TokenMoE(self.dim, self.mlp_ratio, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="model")(x, d, train=train)
+        return out + x, loss
+
+
+# ---------------------------------------------------------------- FD_MEE ----
+
+
+class FD(nn.Module):
+    """Learned per-group low-pass frequency decouple (FD_MEE.py:11-39).
+
+    The kernel comes from GAP so it is spatially constant per (sample, group):
+    the unfold-sum is 9 shifted adds of reflection-padded x, fully vectorized.
+    """
+
+    channels: int
+    kernel_size: int = 3
+    group: int = 8
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k, g = self.kernel_size, self.group
+        c = self.channels
+        # unused in the reference forward (FD_MEE.py:17-18) — ckpt compat
+        _ = self.param("lamb_l", nn.initializers.zeros, (c,), self.param_dtype)
+        _ = self.param("lamb_h", nn.initializers.zeros, (c,), self.param_dtype)
+
+        b, h, w, _ = x.shape
+        gap = jnp.mean(x, axis=(1, 2), keepdims=True)
+        filt = Conv(g * k * k, 1, use_bias=False, name="conv",
+                    dtype=self.dtype, param_dtype=self.param_dtype)(gap)
+        filt = BatchNorm2d(name="bn", dtype=self.dtype,
+                           param_dtype=self.param_dtype)(filt, train=train)
+        filt = filt.reshape(b, g, k * k)
+        filt = jax.nn.softmax(filt, axis=-1)  # Softmax(dim=-2) over k^2
+
+        pad = k // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+        # 9 shifted windows, channel-grouped weighted sum
+        xg = jnp.stack(
+            [xp[:, i : i + h, j : j + w, :] for i in range(k) for j in range(k)],
+            axis=-1,
+        )  # (B, H, W, C, k*k)
+        xg = xg.reshape(b, h, w, g, c // g, k * k)
+        low = jnp.einsum("bhwgcn,bgn->bhwgc", xg, filt.astype(xg.dtype))
+        low = low.reshape(b, h, w, c)
+        return low, x - low
+
+
+class StripedConv2d(nn.Module):
+    """1xk then kx1 (depthwise) conv (FD_MEE.py:162-178)."""
+
+    channels: int
+    kernel_size: int = 3
+    depthwise: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.kernel_size // 2
+        g = self.channels if self.depthwise else 1
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = nn.Conv(self.channels, (1, self.kernel_size), padding=[(0, 0), (p, p)],
+                    feature_group_count=g, name="conv_0", **kw)(x)
+        x = nn.Conv(self.channels, (self.kernel_size, 1), padding=[(p, p), (0, 0)],
+                    feature_group_count=g, name="conv_1", **kw)(x)
+        return x
+
+
+class _WET(nn.Module):
+    """GAP -> Linear gate (FD_MEE.py:148-160)."""
+
+    num_experts: int
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, gvec):
+        return nn.Dense(self.num_experts, use_bias=False, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="body_2")(gvec)
+
+
+class _EL(nn.Module):
+    """Low-rank gated expert (FD_MEE.py:133-146)."""
+
+    channels: int
+    low_dim: int
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, k):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        e = Conv(self.low_dim, 1, use_bias=True, name="conv_1", **kw)(x)
+        e = e * Conv(self.low_dim, 1, use_bias=True, name="conv_2", **kw)(k)
+        return Conv(self.channels, 1, use_bias=True, name="conv_3", **kw)(e)
+
+
+class MESE(nn.Module):
+    """Striped-conv + calibration + top-k gated low-rank experts
+    (FD_MEE.py:49-131)."""
+
+    channels: int
+    num_experts: int = 5
+    topk: int = 2
+    recursive: int = 2
+    lr_space: str = "linear"
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.channels
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = Conv(c, 3, padding=1, use_bias=True, name="conv_1_0", **kw)(x)
+        h = jax.nn.gelu(h, approximate=False)
+        h = Conv(2 * c, 1, use_bias=True, name="conv_1_2", **kw)(h)
+        xh, kh = jnp.split(h, 2, axis=-1)
+        xh = StripedConv2d(c, 3, name="conv_2_0", **kw)(xh)
+        xh = jax.nn.gelu(xh, approximate=False)
+
+        # calibrate (FD_MEE.py:90-97): recursive stride-4 dw agg, dw+1x1, up
+        b, hh, ww, _ = kh.shape
+        res = kh
+        kcal = kh
+        agg = Conv(c, 4, stride=4, groups=c, use_bias=True, name="agg_conv_0", **kw)
+        for _ in range(self.recursive):
+            kcal = jax.nn.gelu(agg(kcal), approximate=False)
+        kcal = Conv(c, 3, padding=1, groups=c, use_bias=True, name="conv_0", **kw)(kcal)
+        kcal = Conv(c, 1, use_bias=True, name="conv_1", **kw)(kcal)
+        kcal = resize_bilinear(kcal, hh, ww)
+        kh = res + kcal
+
+        # WET gate: GAP -> Linear(no bias) -> softmax fp32 -> top-k masked
+        gvec = jnp.mean(xh, axis=(1, 2))
+        logits = _WET(self.num_experts, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="wet")(gvec)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        top_vals, top_idx = jax.lax.top_k(weights, self.topk)
+        onehot = jax.nn.one_hot(top_idx, self.num_experts, dtype=weights.dtype)
+        gates = jnp.einsum("bk,bke->be", top_vals, onehot)
+
+        if self.lr_space == "linear":
+            grow = lambda i: i + 2
+        elif self.lr_space == "exp":
+            grow = lambda i: 2 ** (i + 1)
+        else:  # "double"
+            grow = lambda i: 2 * i + 2
+        out = xh
+        for i in range(self.num_experts):
+            e = _EL(c, grow(i), dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"experts_{i}")(xh, kh)
+            out = out + e * gates[:, None, None, i : i + 1]
+        return Conv(c, 1, use_bias=True, name="proj", **kw)(out)
+
+
+class MEE(nn.Module):
+    """LN -> MESE -> +res (FD_MEE.py:202-218)."""
+
+    channels: int
+    num_experts: int = 5
+    topk: int = 2
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = LayerNorm2d(name="norm_1", param_dtype=self.param_dtype)(x)
+        h = MESE(self.channels, self.num_experts, self.topk, dtype=self.dtype,
+                 param_dtype=self.param_dtype, name="block")(h)
+        # norm_2 exists in the reference but its forward never uses it
+        _ = LayerNorm2d(name="norm_2", param_dtype=self.param_dtype)(x)
+        return h + x
+
+
+class FD_MEE(nn.Module):
+    """FD split -> high/low MEE -> concat proj (FD_MEE.py:223-253)."""
+
+    channels: int
+    num_experts: int = 5
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        low, high = FD(self.channels, name="spilit", **kw)(x, train=train)
+        high = MEE(self.channels, self.num_experts, name="high_block", **kw)(high)
+        low = MEE(self.channels, self.num_experts, name="low_block", **kw)(low)
+        out = jnp.concatenate([high, low], axis=-1)
+        return Conv(self.channels, 1, use_bias=True, name="proj", **kw)(out)
+
+
+# ------------------------------------------------------- frequency Block ----
+
+
+class CrossAttention(nn.Module):
+    """q from x, kv from y MDTA-style cross attention (MEASNet.py:150-176)."""
+
+    dim: int
+    num_heads: int
+    use_bias: bool = False
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y):
+        b, h, w, c = x.shape
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        q = Conv(c, 1, use_bias=self.use_bias, name="q", **kw)(x)
+        q = Conv(c, 3, padding=1, groups=c, use_bias=self.use_bias,
+                 name="q_dwconv", **kw)(q)
+        kv = Conv(c * 2, 1, use_bias=self.use_bias, name="kv", **kw)(y)
+        kv = Conv(c * 2, 3, padding=1, groups=c * 2, use_bias=self.use_bias,
+                  name="kv_dwconv", **kw)(kv)
+        kk, v = jnp.split(kv, 2, axis=-1)
+
+        def heads(t):
+            t = t.reshape(b, h * w, self.num_heads, c // self.num_heads)
+            return t.transpose(0, 2, 3, 1)  # (B, heads, c/h, HW)
+
+        qh, kh, vh = heads(q), heads(kk), heads(v)
+        qh = qh / jnp.maximum(jnp.linalg.norm(qh, axis=-1, keepdims=True), 1e-12)
+        kh = kh / jnp.maximum(jnp.linalg.norm(kh, axis=-1, keepdims=True), 1e-12)
+        temp = self.param("temperature", nn.initializers.ones,
+                          (self.num_heads, 1, 1), self.param_dtype)
+        attn = jnp.einsum("bhct,bhdt->bhcd", qh, kh) * temp
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhcd,bhdt->bhct", attn, vh)
+        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
+        return Conv(c, 1, use_bias=self.use_bias, name="project_out", **kw)(out)
+
+
+class _SpatialGate(nn.Module):
+    """modulate1 (MEASNet.py:188-200): max+mean over C -> 7x7 -> sigmoid."""
+
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        mn = jnp.mean(x, axis=-1, keepdims=True)
+        s = Conv(1, 7, padding=3, use_bias=False, name="spatial",
+                 dtype=self.dtype, param_dtype=self.param_dtype)(
+            jnp.concatenate([mx, mn], axis=-1))
+        return jax.nn.sigmoid(s)
+
+
+class _ChannelGate(nn.Module):
+    """modulate2 (MEASNet.py:202-213): shared MLP on avg & max pools."""
+
+    dim: int
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        avg = jnp.mean(x, axis=(1, 2), keepdims=True)
+        mxp = jnp.max(x, axis=(1, 2), keepdims=True)
+        down = Conv(self.dim // 16, 1, use_bias=False, name="squential_0", **kw)
+        up = Conv(self.dim, 1, use_bias=False, name="squential_2", **kw)
+        return jax.nn.sigmoid(up(jax.nn.relu(down(avg)))
+                              + up(jax.nn.relu(down(mxp))))
+
+
+class Modulate(nn.Module):
+    """Spatial/channel gate exchange between bands (MEASNet.py:215-228)."""
+
+    dim: int
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, low, high):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        w1 = _SpatialGate(name="modulate1", **kw)(high)
+        w2 = _ChannelGate(self.dim, name="modulate2", **kw)(low)
+        out = low * w1 + high * w2
+        return Conv(self.dim, 1, use_bias=True, name="conv", **kw)(out)
+
+
+class FreqBlock(nn.Module):
+    """Adaptive FFT split of the input image cross-attended into decoder
+    features (MEASNet.py:230-283)."""
+
+    dim: int
+    num_heads: int
+    use_bias: bool = False
+    segments: int = 128
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, y):
+        b, h, w, c = y.shape
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = resize_bilinear(img, h, w)
+
+        # unused in the reference forward (MEASNet.py:233-236) — ckpt compat
+        _ = Conv(self.dim, 3, padding=1, use_bias=False,
+                 name="initial_conv", **kw)(x)
+        _ = Conv(2, 7, padding=3, use_bias=True, name="score_generator", **kw)(
+            jnp.zeros((b, h, w, 2), x.dtype))
+
+        # fft split (:262-283)
+        xa = Conv(self.dim, 3, padding=1, use_bias=False, name="aux_conv", **kw)(x)
+        gap = jnp.mean(xa, axis=(1, 2), keepdims=True)
+        thr = Conv(self.dim // 8, 1, use_bias=False,
+                   name="rate_adaptive_conv_0", **kw)(gap)
+        thr = jax.nn.gelu(thr, approximate=False)
+        thr = Conv(2, 1, use_bias=False, name="rate_adaptive_conv_2", **kw)(thr)
+        thr = jax.nn.sigmoid(thr).reshape(b, 2)
+        h_seg = jnp.floor((h // self.segments) * thr[:, 0]).astype(jnp.int32)
+        w_seg = jnp.floor((w // self.segments) * thr[:, 1]).astype(jnp.int32)
+        rows = jnp.arange(h)[None, :]
+        cols = jnp.arange(w)[None, :]
+        in_h = (rows >= h // 2 - h_seg[:, None]) & (rows < h // 2 + h_seg[:, None])
+        in_w = (cols >= w // 2 - w_seg[:, None]) & (cols < w // 2 + w_seg[:, None])
+        mask = (in_h[:, :, None] & in_w[:, None, :])[..., None]  # (B,H,W,1)
+
+        xf = jnp.fft.fft2(xa.astype(jnp.float32), axes=(1, 2), norm="forward")
+        xf = jnp.roll(xf, (h // 2, w // 2), axis=(1, 2))
+        high = jnp.roll(xf * (1 - mask), (-(h // 2), -(w // 2)), axis=(1, 2))
+        high = jnp.abs(jnp.fft.ifft2(high, axes=(1, 2), norm="forward")).astype(y.dtype)
+        low = jnp.roll(xf * mask, (-(h // 2), -(w // 2)), axis=(1, 2))
+        low = jnp.abs(jnp.fft.ifft2(low, axes=(1, 2), norm="forward")).astype(y.dtype)
+
+        # cross-attention naming follows the reference (:248-251): the layer
+        # named "low" consumes the HIGH band and vice versa.
+        fh = CrossAttention(self.dim, self.num_heads, self.use_bias,
+                            name="cross_layer_low", **kw)(high, y)
+        fl = CrossAttention(self.dim, self.num_heads, self.use_bias,
+                            name="cross_layer_high", **kw)(low, y)
+        agg = Modulate(self.dim, name="freq_refinement", **kw)(fl, fh)
+        out = CrossAttention(self.dim, self.num_heads, self.use_bias,
+                             name="cross_layer_agg", **kw)(y, agg)
+        alpha = self.param("param_alpha", nn.initializers.zeros,
+                           (self.dim,), self.param_dtype)
+        beta = self.param("param_beta", nn.initializers.ones,
+                          (self.dim,), self.param_dtype)
+        return out * alpha + y * beta
+
+
+class Downsample(nn.Module):
+    """conv3 n/2 + PixelUnshuffle(2) (MEASNet.py:13-18)."""
+
+    n_feat: int
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.n_feat // 2, 3, padding=1, use_bias=False, name="body_0",
+                 dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        return pixel_unshuffle(x, 2)
+
+
+class Upsample(nn.Module):
+    """conv3 2n + PixelShuffle(2) (MEASNet.py:19-24)."""
+
+    n_feat: int
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.n_feat * 2, 3, padding=1, use_bias=False, name="body_0",
+                 dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        return pixel_shuffle(x, 2)
+
+
+@register_model("measnet")
+class MEASNet(nn.Module):
+    """MEASNet.py:286-361 (class IRmodel)."""
+
+    inp_channels: int = 3
+    out_channels: int = 3
+    dim: int = 48
+    num_blocks: Sequence[int] = (4, 4, 6, 8)
+    num_refinement_blocks: int = 4
+    heads: Sequence[int] = (1, 2, 4, 8)
+    ffn_expansion_factor: float = 2.66
+    use_bias: bool = False
+    ln_type: str = "WithBias"
+    atom_num: int = 32
+    atom_dim: int = 256
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    def _blocks(self, dim, heads, n, prefix):
+        return [
+            TransformerBlock(
+                dim=dim, num_heads=heads, expansion=self.ffn_expansion_factor,
+                use_bias=self.use_bias, ln_type=self.ln_type, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"{prefix}_{i}",
+            )
+            for i in range(n)
+        ]
+
+    @nn.compact
+    def __call__(self, inp_img, train: bool = False):
+        d = self.dim
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = inp_img.astype(self.dtype) if self.dtype is not None else inp_img
+
+        prompt = Taskprompt(self.atom_num, self.atom_dim,
+                            name="task_prompt", **kw)(x)
+        feats = Conv(d, 3, padding=1, use_bias=False, name="patch_embed", **kw)(x)
+
+        harm1, aux = STPG_G_MESE(self.atom_dim, d, self.ffn_expansion_factor,
+                                 name="stpg_g_mese1", **kw)(feats, prompt, train=train)
+        enc1 = harm1
+        for blk in self._blocks(d, self.heads[0], self.num_blocks[0], "encoder_level1"):
+            enc1 = blk(enc1)
+
+        x2 = Downsample(d, name="down1_2", **kw)(enc1)
+        # computed for the balance loss but NOT fed forward (MEASNet.py:330-336)
+        _, aux2 = STPG_G_MESE(self.atom_dim, d * 2, self.ffn_expansion_factor,
+                              name="stpg_g_mese2", **kw)(x2, prompt, train=train)
+        aux = aux + aux2
+        enc2 = x2
+        for blk in self._blocks(d * 2, self.heads[1], self.num_blocks[1], "encoder_level2"):
+            enc2 = blk(enc2)
+
+        x3 = Downsample(d * 2, name="down2_3", **kw)(enc2)
+        _, aux3 = STPG_G_MESE(self.atom_dim, d * 4, self.ffn_expansion_factor,
+                              name="stpg_g_mese3", **kw)(x3, prompt, train=train)
+        aux = aux + aux3
+        enc3 = x3
+        for blk in self._blocks(d * 4, self.heads[2], self.num_blocks[2], "encoder_level3"):
+            enc3 = blk(enc3)
+
+        x4 = Downsample(d * 4, name="down3_4", **kw)(enc3)
+        latent = x4
+        for blk in self._blocks(d * 8, self.heads[3], self.num_blocks[3], "latent"):
+            latent = blk(latent)
+        latent = FreqBlock(d * 8, self.heads[2], self.use_bias,
+                           name="block1", **kw)(x, latent)
+
+        dec3 = Upsample(d * 8, name="up4_3", **kw)(latent)
+        dec3 = jnp.concatenate([dec3, enc3], axis=-1)
+        dec3 = Conv(d * 4, 1, use_bias=self.use_bias, name="reduce_chan_level3", **kw)(dec3)
+        dec3 = FD_MEE(d * 4, name="fe_mee1", **kw)(dec3, train=train)
+        for blk in self._blocks(d * 4, self.heads[2], self.num_blocks[2], "decoder_level3"):
+            dec3 = blk(dec3)
+        dec3 = FreqBlock(d * 4, self.heads[2], self.use_bias,
+                         name="block2", **kw)(x, dec3)
+
+        dec2 = Upsample(d * 4, name="up3_2", **kw)(dec3)
+        dec2 = jnp.concatenate([dec2, enc2], axis=-1)
+        dec2 = Conv(d * 2, 1, use_bias=self.use_bias, name="reduce_chan_level2", **kw)(dec2)
+        dec2 = FD_MEE(d * 2, name="fe_mee2", **kw)(dec2, train=train)
+        for blk in self._blocks(d * 2, self.heads[1], self.num_blocks[1], "decoder_level2"):
+            dec2 = blk(dec2)
+        dec2 = FreqBlock(d * 2, self.heads[2], self.use_bias,
+                         name="block3", **kw)(x, dec2)
+
+        dec1 = Upsample(d * 2, name="up2_1", **kw)(dec2)
+        dec1 = jnp.concatenate([dec1, enc1], axis=-1)
+        dec1 = FD_MEE(d * 2, name="fe_mee3", **kw)(dec1, train=train)
+        for blk in self._blocks(d * 2, self.heads[0], self.num_blocks[0], "decoder_level1"):
+            dec1 = blk(dec1)
+        for blk in self._blocks(d * 2, self.heads[0], self.num_refinement_blocks, "refinement"):
+            dec1 = blk(dec1)
+
+        out = Conv(self.out_channels, 3, padding=1, use_bias=self.use_bias,
+                   name="output", **kw)(dec1) + x
+        out = out.astype(jnp.float32)
+        if train:
+            return out, {"aux_loss": aux}
+        return out
