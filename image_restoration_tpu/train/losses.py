@@ -126,6 +126,52 @@ def pearson_loss(pred, target, eps: float = 1e-8):
     return jnp.mean(1.0 - num / den)
 
 
+def contrastive_style_loss(embeddings, labels, pos_margin: float = 0.5,
+                           neg_margin: float = 0.0, eps: float = 1e-8):
+    """Pairwise contrastive loss over cosine similarity — the MWFormer
+    style-filter recipe (MWFormer/main_train_style.py:76-81:
+    ContrastiveLoss(pos_margin=0.5, neg_margin=0, distance=CosineSimilarity,
+    reducer=MeanReducer)).
+
+    Positive pairs (same weather label) pay relu(pos_margin - sim); negative
+    pairs pay relu(sim - neg_margin); each set is averaged, then summed.
+    """
+    e = embeddings / (jnp.linalg.norm(embeddings, axis=-1, keepdims=True) + eps)
+    sim = e @ e.T
+    same = labels[:, None] == labels[None, :]
+    off = ~jnp.eye(labels.shape[0], dtype=bool)
+    pos_mask = (same & off).astype(sim.dtype)
+    neg_mask = (~same).astype(sim.dtype)
+    pos = jax.nn.relu(pos_margin - sim) * pos_mask
+    neg = jax.nn.relu(sim - neg_margin) * neg_mask
+    pos_loss = jnp.sum(pos) / jnp.maximum(jnp.sum(pos_mask), 1.0)
+    neg_loss = jnp.sum(neg) / jnp.maximum(jnp.sum(neg_mask), 1.0)
+    return pos_loss + neg_loss
+
+
+def supcon_loss(embeddings, labels, temperature: float = 0.1, eps: float = 1e-8):
+    """Supervised contrastive loss (vendored SupConLoss,
+    MWFormer/pytorch_metric_learning/losses/supcon_loss.py; also the
+    CrossRecNet loss_function.py recipe): per anchor,
+    -log( sum_pos exp(sim/t) / sum_all exp(sim/t) ), averaged over anchors
+    that have at least one positive.
+    """
+    e = embeddings / (jnp.linalg.norm(embeddings, axis=-1, keepdims=True) + eps)
+    sim = (e @ e.T) / temperature
+    n = labels.shape[0]
+    off = ~jnp.eye(n, dtype=bool)
+    same = (labels[:, None] == labels[None, :]) & off
+    simm = jnp.where(off, sim, -jnp.inf)
+    logz = jax.nn.logsumexp(simm, axis=1)
+    pos_cnt = jnp.sum(same, axis=1)
+    # per anchor: mean over positives of -(sim - logZ)  (SupCon-"out")
+    sum_pos = jnp.sum(jnp.where(same, sim - logz[:, None], 0.0), axis=1)
+    per_anchor = -sum_pos / jnp.maximum(pos_cnt, 1)
+    valid = pos_cnt > 0
+    return jnp.sum(jnp.where(valid, per_anchor, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1)
+
+
 LOSSES = {
     "l1": l1_loss,
     "l2": mse_loss,

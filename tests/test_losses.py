@@ -208,3 +208,41 @@ def test_checkpoint_roundtrip(tmp_path):
     save_params_npz(p, params)
     back = load_params_npz(p, params)
     np.testing.assert_array_equal(np.asarray(back["b"]), np.ones(4))
+
+
+def test_contrastive_style_losses_vs_vendored():
+    """MWFormer style-filter ContrastiveLoss + SupCon vs the vendored
+    pytorch_metric_learning package."""
+    import sys
+
+    import jax.numpy as jnp
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference/MWFormer")
+    try:
+        from pytorch_metric_learning import losses as tml
+        from pytorch_metric_learning.distances import CosineSimilarity
+        from pytorch_metric_learning.reducers import MeanReducer
+    except ImportError:
+        pytest.skip("vendored pytorch_metric_learning unavailable")
+    finally:
+        sys.path.remove("/root/reference/MWFormer")
+
+    from image_restoration_tpu.train.losses import (
+        contrastive_style_loss,
+        supcon_loss,
+    )
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((8, 16)).astype(np.float32)
+    lab = np.array([0, 0, 1, 1, 2, 2, 0, 1])
+    tc = tml.ContrastiveLoss(pos_margin=0.5, neg_margin=0,
+                             distance=CosineSimilarity(), reducer=MeanReducer())
+    ref = float(tc(torch.from_numpy(emb), torch.from_numpy(lab)))
+    got = float(contrastive_style_loss(jnp.asarray(emb), jnp.asarray(lab)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    ts = tml.SupConLoss(temperature=0.1)
+    refs = float(ts(torch.from_numpy(emb), torch.from_numpy(lab)))
+    gots = float(supcon_loss(jnp.asarray(emb), jnp.asarray(lab)))
+    np.testing.assert_allclose(gots, refs, rtol=1e-5)
