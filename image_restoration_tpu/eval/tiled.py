@@ -122,6 +122,48 @@ def pad_test(fn, x, multiple: int, mode: str = "reflect"):
     return crop_to(fn(xp), hw)
 
 
+def overlap_average_apply(fn, x, patch: int = 48, stride: int | None = None,
+                          scale: int = 1, max_batch: int | None = None):
+    """IPT dense-stride tiling (AdaptIR-main/net/ipt.py:115-248): patches of
+    size ``patch`` at stride ``shave/2`` (default patch/4), batched through
+    ``fn``, recombined by overlap-add with a fold/unfold divisor — every
+    output pixel is the average of all patches covering it. The reference
+    additionally gives border strips priority over the average; interior
+    math is identical. Static shapes: the patch grid is a function of (H, W).
+    """
+    b, h, w, c = x.shape
+    stride = stride or patch // 4
+
+    def starts(size):
+        s = list(range(0, size - patch + 1, stride))
+        if not s or s[-1] != size - patch:
+            s.append(size - patch)
+        return s
+
+    hs, vs = starts(h), starts(w)
+    tiles = [x[:, i : i + patch, j : j + patch, :] for i in hs for j in vs]
+    wins = jnp.concatenate(tiles, axis=0)
+    if max_batch is None or wins.shape[0] <= max_batch:
+        outs = fn(wins)
+    else:
+        outs = jnp.concatenate(
+            [fn(wins[s : s + max_batch]) for s in range(0, wins.shape[0], max_batch)],
+            axis=0)
+    ps = patch * scale
+    acc = jnp.zeros((b, h * scale, w * scale, outs.shape[-1]), outs.dtype)
+    cnt = jnp.zeros((1, h * scale, w * scale, 1), outs.dtype)
+    idx = 0
+    for i in hs:
+        for j in vs:
+            t = outs[idx * b : (idx + 1) * b]
+            acc = acc.at[:, i * scale : i * scale + ps,
+                         j * scale : j * scale + ps, :].add(t)
+            cnt = cnt.at[:, i * scale : i * scale + ps,
+                         j * scale : j * scale + ps, :].add(1.0)
+            idx += 1
+    return acc / cnt
+
+
 def chop_apply(fn, x, min_size: int = 160 * 160, shave: int = 12, scale: int = 1):
     """IPT forward_chop (AdaptIR-main/net/ipt.py:115-248): recursively split
     into 4 overlapping quadrants until each fits min_size, forward, and
