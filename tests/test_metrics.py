@@ -149,3 +149,80 @@ def test_chop_apply(rng):
     x = jnp.asarray(rng.random((1, 48, 64, 3), dtype=np.float32))
     out = chop_apply(lambda t: t, x, min_size=24 * 24, shave=4)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_niqe_parity_vs_reference():
+    """NIQE vs the reference basicsr implementation (cv2/scipy shimmed)."""
+    import sys
+    import types
+
+    import scipy.ndimage
+
+    cv2 = types.ModuleType("cv2")
+
+    def _resize(img, wh, interpolation=None):
+        h2, w2 = wh[1], wh[0]
+        img = img[: h2 * 2, : w2 * 2]
+        return img.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+
+    cv2.resize = _resize
+    cv2.INTER_LINEAR = 1
+    sys.modules.setdefault("cv2", cv2)
+    filters = types.ModuleType("scipy.ndimage.filters")
+    filters.convolve = scipy.ndimage.convolve
+    sys.modules.setdefault("scipy.ndimage.filters", filters)
+    for name in ("basicsr", "basicsr.metrics", "basicsr.metrics.metric_util"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["basicsr.metrics.metric_util"].reorder_image = lambda x, input_order: x
+    sys.modules["basicsr.metrics.metric_util"].to_y_channel = lambda x: x
+
+    import importlib.util
+
+    path = ("/root/reference/HOGformer-main/settingI/basicsr/metrics/niqe.py")
+    import os
+    if not os.path.exists(path):
+        pytest.skip("reference niqe unavailable")
+    spec = importlib.util.spec_from_file_location("ref_niqe", path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from image_restoration_tpu.eval.niqe import load_pris_params, niqe
+
+    mu, cov, win = load_pris_params()
+    rng = np.random.default_rng(0)
+    img = scipy.ndimage.gaussian_filter(rng.random((192, 288)) * 255, 2.0)
+    r = float(np.asarray(ref.niqe(img.copy(), mu, cov, win)).ravel()[0])
+    g = niqe(img.copy(), mu, cov, win)
+    np.testing.assert_allclose(g, r, rtol=1e-8)
+
+
+def test_progressive_schedule():
+    from image_restoration_tpu.train.progressive import (
+        ProgressiveSchedule,
+        ReduceLROnPlateau,
+    )
+
+    sched = ProgressiveSchedule(iters=[100, 100, 100], gt_sizes=[16, 24, 32],
+                                batch_sizes=[8, 4, 2])
+    assert sched.shapes(0) == (8, 16)
+    assert sched.shapes(150) == (4, 24)
+    assert sched.shapes(10_000) == (2, 32)
+    assert sched.num_buckets() == 3
+
+    rng = np.random.default_rng(0)
+    lq = rng.random((8, 32, 32, 3)).astype(np.float32)
+    gt = rng.random((8, 32, 32, 3)).astype(np.float32)
+    l2, g2 = sched.apply(lq, gt, step=150, rng=rng)
+    assert l2.shape == (4, 24, 24, 3) and g2.shape == (4, 24, 24, 3)
+
+    # SR scale: gt 2x larger, crop follows scale
+    sched2 = ProgressiveSchedule(iters=[10], gt_sizes=[16], batch_sizes=[2], scale=2)
+    gt_hr = rng.random((8, 64, 64, 3)).astype(np.float32)
+    l3, g3 = sched2.apply(lq, gt_hr, step=0, rng=rng)
+    assert l3.shape == (2, 16, 16, 3) and g3.shape == (2, 32, 32, 3)
+
+    plateau = ReduceLROnPlateau(factor=0.5, patience=1, window=3)
+    scales = [plateau.push_loss(v) for v in
+              [1.0, 1.0, 1.0,   1.0, 1.0, 1.0,   1.0, 1.0, 1.0]]
+    # windows mean 1.0 thrice: first sets best, then 2 bad -> drop at 3rd
+    assert scales[2] == 1.0 and scales[-1] == 0.5
