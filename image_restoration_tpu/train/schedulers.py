@@ -159,3 +159,11 @@ SCHEDULES = {
     "gradual_warmup": gradual_warmup,
     "constant": lambda base_lr: (lambda step: jnp.asarray(base_lr, jnp.float32)),
 }
+
+
+def cosine_loss_weight(step: int, total_steps: int, target_weight: float) -> float:
+    """Inverted-cosine loss-weight ramp 0 -> target
+    (IGMoCE-IR-main/src/utils/weight_schedule.py:get_cosine_weight)."""
+    import math
+
+    return (1 - math.cos(math.pi * (step / total_steps))) / 2 * target_weight

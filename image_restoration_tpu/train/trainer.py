@@ -56,6 +56,11 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
     opt = {
         "adamw": lambda: optax.adamw(cfg.learning_rate, b1=cfg.betas[0],
                                      b2=cfg.betas[1], weight_decay=cfg.weight_decay),
+        # IGMoCE-IR's c_adamw (src/utils/c_adamw.py) is the transformers
+        # AdamW: decoupled decay with eps 1e-6
+        "adamw_hf": lambda: optax.adamw(cfg.learning_rate, b1=cfg.betas[0],
+                                        b2=cfg.betas[1], eps=1e-6,
+                                        weight_decay=cfg.weight_decay),
         "adam": lambda: optax.adam(cfg.learning_rate, b1=cfg.betas[0], b2=cfg.betas[1]),
         "sgd": lambda: optax.sgd(cfg.learning_rate, momentum=0.9),
     }[cfg.optimizer]()
