@@ -67,7 +67,12 @@ def stub_common_modules():
         pt.get_model_complexity_info = lambda *a, **k: ("0", "0")
         sys.modules["ptflops"] = pt
     if "timm" not in sys.modules:
+        import importlib.machinery
+
         timm = types.ModuleType("timm")
+        # transformers probes importlib.util.find_spec("timm"), which
+        # explodes on spec-less stub modules — give it a real-looking spec
+        timm.__spec__ = importlib.machinery.ModuleSpec("timm", None)
         tm = types.ModuleType("timm.models")
         tl = types.ModuleType("timm.models.layers")
         tl.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
