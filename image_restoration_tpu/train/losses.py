@@ -126,6 +126,15 @@ def pearson_loss(pred, target, eps: float = 1e-8):
     return jnp.mean(1.0 - num / den)
 
 
+def gradient_smoothness_loss(pred, target=None):
+    """PINN 'physical constraint': mean |∂x| + mean |∂y| of the prediction
+    (PINN_Image_Restoration/model.py:30-36). ``target`` ignored — the prior
+    is on the prediction alone (used as mse + this, model.py:66-71)."""
+    gx = pred[:, 1:, :, :] - pred[:, :-1, :, :]
+    gy = pred[:, :, 1:, :] - pred[:, :, :-1, :]
+    return jnp.mean(jnp.abs(gx)) + jnp.mean(jnp.abs(gy))
+
+
 def contrastive_style_loss(embeddings, labels, pos_margin: float = 0.5,
                            neg_margin: float = 0.0, eps: float = 1e-8):
     """Pairwise contrastive loss over cosine similarity — the MWFormer
@@ -185,6 +194,7 @@ LOSSES = {
     "focal_l1": focal_l1_loss,
     "edge": edge_loss,
     "pearson": pearson_loss,
+    "grad_smooth": gradient_smoothness_loss,
 }
 
 
