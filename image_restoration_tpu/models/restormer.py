@@ -32,16 +32,19 @@ class TransformerBlock(nn.Module):
     expansion: float = 2.66
     use_bias: bool = False
     ln_type: str = "WithBias"
+    fold_dwconv: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = x + MDTA(self.dim, self.num_heads, self.use_bias, name="attn", **kw)(
+        x = x + MDTA(self.dim, self.num_heads, self.use_bias,
+                     fold_dwconv=self.fold_dwconv, name="attn", **kw)(
             LayerNorm(self.ln_type, param_dtype=self.param_dtype, name="norm1")(x)
         )
-        x = x + GDFN(self.dim, self.expansion, self.use_bias, name="ffn", **kw)(
+        x = x + GDFN(self.dim, self.expansion, self.use_bias,
+                     fold_dwconv=self.fold_dwconv, name="ffn", **kw)(
             LayerNorm(self.ln_type, param_dtype=self.param_dtype, name="norm2")(x)
         )
         return x
@@ -62,6 +65,7 @@ class Restormer(nn.Module):
     use_bias: bool = False
     ln_type: str = "WithBias"
     dual_pixel_task: bool = False
+    fold_dwconv: bool = False  # TPU fast path: dense-3x3 folded qkv/FFN convs
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -69,7 +73,10 @@ class Restormer(nn.Module):
         return [
             TransformerBlock(
                 dim=dim, num_heads=heads, expansion=self.ffn_expansion_factor,
-                use_bias=self.use_bias, ln_type=self.ln_type, dtype=self.dtype,
+                use_bias=self.use_bias, ln_type=self.ln_type,
+                # the dense-3x3 fold beats the VPU depthwise only while
+                # channels < ~112 (9x MXU flops vs 18 VPU flops/px/ch)
+                fold_dwconv=self.fold_dwconv and dim <= 96, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"{prefix}_{i}",
             )
             for i in range(n)

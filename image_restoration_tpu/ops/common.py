@@ -64,6 +64,43 @@ class Conv(nn.Module):
         )(x)
 
 
+class _ConvLeaf(nn.Module):
+    """Declares Conv-compatible params (kernel HWIO, optional bias) without
+    running the convolution — lets fused/folded compute paths keep the exact
+    parameter tree (and checkpoint compatibility) of the unfused `Conv`."""
+
+    features: int
+    in_features: int
+    kernel_size: int
+    use_bias: bool
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        kern = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, self.in_features, self.features), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        return kern, bias
+
+
+class ConvParams(nn.Module):
+    """Param-tree twin of `Conv` (nests the leaf under 'conv')."""
+
+    features: int
+    in_features: int
+    kernel_size: int = 1
+    use_bias: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return _ConvLeaf(self.features, self.in_features, self.kernel_size,
+                         self.use_bias, self.param_dtype, name="conv")()
+
+
 def conv2d(
     x,
     kernel,

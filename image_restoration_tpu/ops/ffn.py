@@ -20,16 +20,36 @@ class GDFN(nn.Module):
     dim: int
     expansion: float = 2.66
     use_bias: bool = False
+    fold_dwconv: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         hidden = int(self.dim * self.expansion)
-        x = Conv(hidden * 2, 1, use_bias=self.use_bias, dtype=self.dtype,
-                 param_dtype=self.param_dtype, name="project_in")(x)
-        x = Conv(hidden * 2, 3, padding=1, groups=hidden * 2, use_bias=self.use_bias,
-                 dtype=self.dtype, param_dtype=self.param_dtype, name="dwconv")(x)
+        if self.fold_dwconv and not self.use_bias:
+            # TPU fast path: fold (1x1 expand -> 3x3 depthwise) into one
+            # dense MXU 3x3 conv (see ops/attention.py MDTA note); exact
+            # when bias-free.
+            import jax
+
+            from image_restoration_tpu.ops.common import ConvParams
+
+            w1, _ = ConvParams(hidden * 2, self.dim, 1, False,
+                               self.param_dtype, name="project_in")()
+            dw, _ = ConvParams(hidden * 2, 1, 3, False, self.param_dtype,
+                               name="dwconv")()
+            dt = x.dtype if self.dtype is None else self.dtype
+            kfold = w1[0, 0][None, None, :, :] * dw[:, :, 0][:, :, None, :]
+            prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32 else None)
+            x = jax.lax.conv_general_dilated(
+                x.astype(dt), kfold.astype(dt), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+        else:
+            x = Conv(hidden * 2, 1, use_bias=self.use_bias, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="project_in")(x)
+            x = Conv(hidden * 2, 3, padding=1, groups=hidden * 2, use_bias=self.use_bias,
+                     dtype=self.dtype, param_dtype=self.param_dtype, name="dwconv")(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
         x = gelu_exact(x1) * x2
         return Conv(self.dim, 1, use_bias=self.use_bias, dtype=self.dtype,

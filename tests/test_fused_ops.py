@@ -1,0 +1,77 @@
+"""TPU fast-path equivalence: dwconv folding and the fused LN+GDFN kernel.
+
+On CPU the Pallas kernel falls back to its reference composition; the
+folding path runs everywhere (it is plain XLA) and must match the unfolded
+modules bit-closely in fp32.
+"""
+
+import numpy as np
+import pytest
+
+
+def test_fold_dwconv_mdta_gdfn_parity(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.ops.attention import MDTA
+    from image_restoration_tpu.ops.ffn import GDFN
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    m0, m1 = MDTA(8, 2), MDTA(8, 2, fold_dwconv=True)
+    p = m0.init(jax.random.PRNGKey(0), x)["params"]
+    # identical param trees (ConvParams mirrors Conv)
+    assert jax.tree.structure(p) == jax.tree.structure(
+        m1.init(jax.random.PRNGKey(0), x)["params"])
+    np.testing.assert_allclose(
+        np.asarray(m0.apply({"params": p}, x)),
+        np.asarray(m1.apply({"params": p}, x)), rtol=2e-5, atol=2e-5)
+
+    g0, g1 = GDFN(8, 2.0), GDFN(8, 2.0, fold_dwconv=True)
+    pg = g0.init(jax.random.PRNGKey(0), x)["params"]
+    np.testing.assert_allclose(
+        np.asarray(g0.apply({"params": pg}, x)),
+        np.asarray(g1.apply({"params": pg}, x)), rtol=2e-5, atol=2e-5)
+
+
+def test_restormer_fold_parity(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.models.restormer import Restormer
+
+    m0 = Restormer(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+                   heads=(1, 2, 4, 8))
+    m1 = Restormer(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+                   heads=(1, 2, 4, 8), fold_dwconv=True)
+    x = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    p = m0.init(jax.random.PRNGKey(0), x)["params"]
+    y0 = m0.apply({"params": p}, x)
+    y1 = m1.apply({"params": p}, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_fused_ln_gdfn_cpu_fallback(rng):
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.kernels.gdfn_pallas import (
+        _reference_ln_gdfn,
+        fused_ln_gdfn,
+    )
+
+    C = 8
+    hidden = int(C * 2.0)
+    mk = lambda *s, sc=0.05: jnp.asarray(
+        (rng.standard_normal(s) * sc).astype(np.float32))
+    params = (mk(C, sc=0.1) + 1, mk(C, sc=0.1), mk(C, 2 * hidden), None,
+              mk(3, 3, 1, 2 * hidden, sc=0.1), None, mk(hidden, C), None)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, C)).astype(np.float32))
+    ref = _reference_ln_gdfn(x, params, "WithBias")
+    got = fused_ln_gdfn(x, params, "WithBias")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # BiasFree flavor
+    ref2 = _reference_ln_gdfn(x, params, "BiasFree")
+    got2 = fused_ln_gdfn(x, params, "BiasFree")
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-6, atol=1e-6)
