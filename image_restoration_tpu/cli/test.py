@@ -64,7 +64,11 @@ def main(argv=None):
 
     @jax.jit
     def fn(x):
-        out = model.apply({"params": params}, x)
+        # fp32 eval needs the 6-pass matmul algorithm on TPU: the default
+        # single-pass-bf16 drifts ~1e-1 through deep U-Nets (v5e measured),
+        # which would destroy checkpoint PSNR parity.
+        with jax.default_matmul_precision("highest"):
+            out = model.apply({"params": params}, x)
         if isinstance(out, tuple):
             out = out[0]
         return out

@@ -131,7 +131,11 @@ def make_train_step(
 def make_eval_step(model, mesh: Mesh | None = None, use_ema: bool = False):
     def eval_fn(state: TrainState, lq):
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
-        out = model.apply({"params": params}, lq)
+        # TPU default fp32 matmul/conv precision is single-pass bf16, which
+        # drifts ~1e-1 through deep U-Nets (measured on v5e); checkpoint
+        # PSNR parity requires the 6-pass algorithm for fp32 eval.
+        with jax.default_matmul_precision("highest"):
+            out = model.apply({"params": params}, lq)
         if isinstance(out, tuple):
             out = out[0]
         return jnp.clip(out, 0.0, 1.0)
