@@ -18,10 +18,54 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from image_restoration_tpu.ops.attention import MDTA
-from image_restoration_tpu.ops.common import Conv
+from image_restoration_tpu.ops.common import Conv, ConvParams
 from image_restoration_tpu.ops.ffn import GDFN
 from image_restoration_tpu.ops.layernorm import LayerNorm
 from image_restoration_tpu.ops.resample import Downsample, Upsample
+
+
+class _LNLeaf(nn.Module):
+    """Param twin of {BiasFree,WithBias}LayerNorm's 'body'."""
+
+    with_bias: bool
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, c):
+        w = self.param("weight", nn.initializers.ones, (c,), self.param_dtype)
+        b = (self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+             if self.with_bias else None)
+        return w, b
+
+
+class _LNParams(nn.Module):
+    ln_type: str
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, c):
+        return _LNLeaf(self.ln_type != "BiasFree", self.param_dtype,
+                       name="body")(c)
+
+
+class _GDFNParams(nn.Module):
+    """Param twin of GDFN (project_in / dwconv / project_out)."""
+
+    dim: int
+    expansion: float
+    use_bias: bool
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        hidden = int(self.dim * self.expansion)
+        w_in, b_in = ConvParams(hidden * 2, self.dim, 1, self.use_bias,
+                                self.param_dtype, name="project_in")()
+        w_dw, b_dw = ConvParams(hidden * 2, 1, 3, self.use_bias,
+                                self.param_dtype, name="dwconv")()
+        w_out, b_out = ConvParams(self.dim, hidden, 1, self.use_bias,
+                                  self.param_dtype, name="project_out")()
+        return w_in, b_in, w_dw, b_dw, w_out, b_out
 
 
 class TransformerBlock(nn.Module):
@@ -33,6 +77,7 @@ class TransformerBlock(nn.Module):
     use_bias: bool = False
     ln_type: str = "WithBias"
     fold_dwconv: bool = False
+    fused_gdfn: bool = False  # Pallas fused LN+GDFN tail (kernels/gdfn_pallas)
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -43,10 +88,23 @@ class TransformerBlock(nn.Module):
                      fold_dwconv=self.fold_dwconv, name="attn", **kw)(
             LayerNorm(self.ln_type, param_dtype=self.param_dtype, name="norm1")(x)
         )
-        x = x + GDFN(self.dim, self.expansion, self.use_bias,
-                     fold_dwconv=self.fold_dwconv, name="ffn", **kw)(
-            LayerNorm(self.ln_type, param_dtype=self.param_dtype, name="norm2")(x)
-        )
+        if self.fused_gdfn:
+            from image_restoration_tpu.kernels.gdfn_pallas import fused_ln_gdfn
+
+            lnw, lnb = _LNParams(self.ln_type, self.param_dtype,
+                                 name="norm2")(self.dim)
+            gp = _GDFNParams(self.dim, self.expansion, self.use_bias,
+                             self.param_dtype, name="ffn")()
+            w_in, b_in, w_dw, b_dw, w_out, b_out = gp
+            x = fused_ln_gdfn(
+                x, (lnw, lnb, w_in, b_in, w_dw, b_dw, w_out, b_out),
+                self.ln_type)
+        else:
+            x = x + GDFN(self.dim, self.expansion, self.use_bias,
+                         fold_dwconv=self.fold_dwconv, name="ffn", **kw)(
+                LayerNorm(self.ln_type, param_dtype=self.param_dtype,
+                          name="norm2")(x)
+            )
         return x
 
 
@@ -65,7 +123,8 @@ class Restormer(nn.Module):
     use_bias: bool = False
     ln_type: str = "WithBias"
     dual_pixel_task: bool = False
-    fold_dwconv: bool = False  # TPU fast path: dense-3x3 folded qkv/FFN convs
+    fold_dwconv: bool = False  # alternative dense-3x3 folded qkv/FFN convs
+    fused_gdfn: bool = False   # Pallas fused LN+GDFN (TPU serving fast path)
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -74,9 +133,8 @@ class Restormer(nn.Module):
             TransformerBlock(
                 dim=dim, num_heads=heads, expansion=self.ffn_expansion_factor,
                 use_bias=self.use_bias, ln_type=self.ln_type,
-                # the dense-3x3 fold beats the VPU depthwise only while
-                # channels < ~112 (9x MXU flops vs 18 VPU flops/px/ch)
-                fold_dwconv=self.fold_dwconv and dim <= 96, dtype=self.dtype,
+                fold_dwconv=self.fold_dwconv and dim <= 96,
+                fused_gdfn=self.fused_gdfn, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"{prefix}_{i}",
             )
             for i in range(n)

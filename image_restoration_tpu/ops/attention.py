@@ -74,11 +74,11 @@ class MDTA(nn.Module):
             "temperature", nn.initializers.ones, (self.num_heads, 1, 1), self.param_dtype
         )
         if self.fold_dwconv and not self.use_bias:
-            # TPU fast path: the (1x1 conv -> 3x3 depthwise) pair is
-            # VPU-bound (the depthwise runs on the 8x128 vector unit); fold
-            # them into ONE dense 3x3 conv K[t,c,o] = W[c,o]*d[t,o] that the
-            # MXU executes — identical math when bias-free (zero-padding of
-            # x projects to zero). ~1.8x at level-1 shapes on v5e.
+            # Alternative compute path: fold the (1x1 conv -> 3x3
+            # depthwise) pair into ONE dense 3x3 conv K[t,c,o]=W[c,o]*d[t,o]
+            # — identical math when bias-free. Trades VPU depthwise flops
+            # for 9x MXU flops; roughly a wash on v5e, useful where the VPU
+            # is the bottleneck and the MXU is idle.
             from image_restoration_tpu.ops.common import ConvParams
 
             w1, _ = ConvParams(d * 3, d, 1, False, self.param_dtype,

@@ -28,9 +28,9 @@ class GDFN(nn.Module):
     def __call__(self, x):
         hidden = int(self.dim * self.expansion)
         if self.fold_dwconv and not self.use_bias:
-            # TPU fast path: fold (1x1 expand -> 3x3 depthwise) into one
-            # dense MXU 3x3 conv (see ops/attention.py MDTA note); exact
-            # when bias-free.
+            # Alternative path: fold (1x1 expand -> 3x3 depthwise) into
+            # one dense MXU 3x3 conv (see ops/attention.py MDTA note);
+            # exact when bias-free, flops-for-bandwidth trade.
             import jax
 
             from image_restoration_tpu.ops.common import ConvParams
