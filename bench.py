@@ -28,8 +28,9 @@ def main():
 
     from image_restoration_tpu.models.restormer import Restormer
 
-    size, batch, chain = 512, 1, 5
-    model = Restormer(dtype=jnp.bfloat16)
+    size, batch, chain = 512, 1, 16
+    # fused_gdfn: Pallas LN+GDFN tail (kernels/gdfn_pallas.py)
+    model = Restormer(dtype=jnp.bfloat16, fused_gdfn=True)
     x = jnp.full((batch, size, size, 3), 0.5, jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x)
 

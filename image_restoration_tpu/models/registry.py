@@ -27,7 +27,7 @@ def get_model(name: str, **kwargs):
             "restormer", "adair", "moce_ir", "transweather", "srconvnet",
             "darkir", "nerd_rain", "drsformer", "sfhformer", "hogformer",
             "cg_ir", "igmoce_ir", "measnet", "mwformer", "lsnet",
-            "lumisense_moe", "adaptir_ipt", "adaptir_edt", "vig", "moce_ir_patch", "demo_models", "rectiformer", "fpn_restormer", "mymodel",
+            "lumisense_moe", "adaptir_ipt", "adaptir_edt", "vig", "moce_ir_patch", "demo_models", "rectiformer", "fpn_restormer", "mymodel", "vig_h",
         ):
             try:
                 __import__(f"image_restoration_tpu.models.{mod}")

@@ -59,6 +59,9 @@ def stub_common_modules():
         fvnn = types.ModuleType("fvcore.nn")
         fvnn.FlopCountAnalysis = object
         fvnn.flop_count_table = lambda *a, **k: ""
+        fvnn.flop_count_str = lambda *a, **k: ""
+        fvnn.flop_count = lambda *a, **k: ({}, {})
+        fvnn.parameter_count = lambda *a, **k: {}
         fv.nn = fvnn
         sys.modules["fvcore"] = fv
         sys.modules["fvcore.nn"] = fvnn
