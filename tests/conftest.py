@@ -96,6 +96,38 @@ def stub_common_modules():
                             "timm.models.layers": tl})
 
 
+def stub_torchvision():
+    """Spec-equipped torchvision stub (transformers probes find_spec on it;
+    a spec-less stub makes that raise)."""
+    import importlib.machinery
+    import sys
+    import types
+
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+    for sub in ("models", "ops", "utils"):
+        m = types.ModuleType(f"torchvision.{sub}")
+        m.__spec__ = importlib.machinery.ModuleSpec(f"torchvision.{sub}", None)
+        setattr(tv, sub, m)
+        sys.modules[f"torchvision.{sub}"] = m
+    tv.models.VisionTransformer = object
+    tv.utils.make_grid = lambda *a, **k: None
+    sys.modules["torchvision"] = tv
+
+
+def purge_modules(*prefixes):
+    """Drop cached modules whose name matches a prefix — reference sub-repos
+    reuse generic package names ('model', 'common') that collide across
+    tests when both are loaded in one session."""
+    import sys
+
+    for name in list(sys.modules):
+        if any(name == p or name.startswith(p + ".") for p in prefixes):
+            del sys.modules[name]
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -15,13 +15,9 @@ torch = pytest.importorskip("torch")
 @pytest.fixture(scope="module")
 def ref_mod():
     stub_common_modules()
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvu = types.ModuleType("torchvision.utils")
-        tvu.make_grid = lambda *a, **k: None
-        tv.utils = tvu
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.utils"] = tvu
+    from conftest import stub_torchvision
+
+    stub_torchvision()
     sys.path.insert(0, f"{REFERENCE_ROOT}/AdaptIR-main/net")
     try:
         return load_reference_module("AdaptIR-main/net/edt.py", "ref_edt")

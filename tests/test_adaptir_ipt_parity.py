@@ -20,15 +20,18 @@ torch = pytest.importorskip("torch")
 def ref_mod():
     # ipt.py imports torchvision.ops and matplotlib only at module level
     if "matplotlib" not in sys.modules:
+        import importlib.machinery
+
         mpl = types.ModuleType("matplotlib")
+        mpl.__spec__ = importlib.machinery.ModuleSpec("matplotlib", None)
         mpl.pyplot = types.ModuleType("matplotlib.pyplot")
+        mpl.pyplot.__spec__ = importlib.machinery.ModuleSpec(
+            "matplotlib.pyplot", None)
         sys.modules["matplotlib"] = mpl
         sys.modules["matplotlib.pyplot"] = mpl.pyplot
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.ops = types.ModuleType("torchvision.ops")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.ops"] = tv.ops
+    from conftest import stub_torchvision
+
+    stub_torchvision()
     sys.path.insert(0, f"{REFERENCE_ROOT}/AdaptIR-main/net")
     try:
         return load_reference_module("AdaptIR-main/net/ipt.py", "ref_ipt")

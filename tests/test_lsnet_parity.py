@@ -82,6 +82,9 @@ def _ska_torch(x, w):
 
 @pytest.fixture(scope="module")
 def ref_mod():
+    from conftest import purge_modules
+
+    purge_modules("model")
     _stub_lsnet_deps()
     sys.path.insert(0, f"{REFERENCE_ROOT}/20251113_lsnet_xy")
     try:

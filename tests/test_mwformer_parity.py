@@ -19,7 +19,10 @@ MW_ROOT = f"{REFERENCE_ROOT}/MWFormer"
 
 @pytest.fixture(scope="module")
 def ref_mods():
+    from conftest import purge_modules
+
     stub_common_modules()
+    purge_modules("model")  # other tests cache different 'model' packages
     sys.path.insert(0, MW_ROOT)
     try:
         encdec = load_reference_module("MWFormer/model/EncDec.py", "ref_mw_encdec")

@@ -18,17 +18,9 @@ def ref_mod():
 
     _install_timm_stub()
     _install_fla_stub()
-    if "torchvision" not in sys.modules:
-        import importlib.machinery
+    from conftest import stub_torchvision
 
-        tv = types.ModuleType("torchvision")
-        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
-        tvm = types.ModuleType("torchvision.models")
-        tvm.__spec__ = importlib.machinery.ModuleSpec("torchvision.models", None)
-        tvm.VisionTransformer = object
-        tv.models = tvm
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.models"] = tvm
+    stub_torchvision()
     return load_reference_module("vig_h.py", "ref_vig_h")
 
 
