@@ -84,20 +84,19 @@ def _gdfn_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, wc_ref,
     y2 = y.reshape(th2 * wp2, cp).astype(jnp.bfloat16)
     cont = jnp.dot(y2, wc_ref[:], preferred_element_type=jnp.float32)
     gate = jnp.dot(y2, wg_ref[:], preferred_element_type=jnp.float32)
-    # bf16 residency for the 2.66x-expanded maps (bounds VMEM); the
-    # depthwise accumulation below is fp32
-    cont = ((cont + bc_ref[:]).reshape(th2, wp2, hp) * mask).astype(jnp.bfloat16)
-    gate = ((gate + bg_ref[:]).reshape(th2, wp2, hp) * mask).astype(jnp.bfloat16)
+    # fp32 residency for the expanded maps: bf16 residency halves VMEM but
+    # the 18 per-tap bf16->fp32 converts double the VPU time (profiled on
+    # v5e); the tile picker bounds VMEM by shrinking TH instead
+    cont = (cont + bc_ref[:]).reshape(th2, wp2, hp) * mask
+    gate = (gate + bg_ref[:]).reshape(th2, wp2, hp) * mask
 
     acc_c = jnp.zeros((th, width, hp), jnp.float32)
     acc_g = jnp.zeros((th, width, hp), jnp.float32)
     for kh in range(3):
         for kw in range(3):
             k = kh * 3 + kw
-            acc_c = acc_c + (cont[kh : kh + th, kw : kw + width, :]
-                             .astype(jnp.float32) * dwc_ref[k])
-            acc_g = acc_g + (gate[kh : kh + th, kw : kw + width, :]
-                             .astype(jnp.float32) * dwg_ref[k])
+            acc_c = acc_c + cont[kh : kh + th, kw : kw + width, :] * dwc_ref[k]
+            acc_g = acc_g + gate[kh : kh + th, kw : kw + width, :] * dwg_ref[k]
     acc_c = acc_c + dbc_ref[:]
     acc_g = acc_g + dbg_ref[:]
 
@@ -168,11 +167,12 @@ def _fused_forward(x, params, ln_type: str, eps: float):
     wp2_est = _round_up(w + 2, 16)
 
     def vmem_bytes(t):
-        xs = (t + 2) * wp2_est * cp * 2
-        cg = 2 * (t + 2) * wp2_est * hp * 2
+        xs = 3 * t * wp2_est * cp * 2      # prev/cur/next pipelined blocks
+        y32 = (t + 2) * wp2_est * cp * 4
+        cg = 2 * (t + 2) * wp2_est * hp * 4  # fp32 expanded maps
         acc = 2 * t * w * hp * 4
         out = t * w * cp * 4
-        return xs + cg + acc + out
+        return xs + y32 + cg + acc + out
 
     th = 1
     for t in sorted({d for d in range(1, h + 1) if h % d == 0}):

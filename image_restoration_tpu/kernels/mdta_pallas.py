@@ -1,0 +1,169 @@
+"""Fused LayerNorm + qkv-projection + 3x3-depthwise Pallas kernel.
+
+The MDTA front half ``dwconv3(qkv1x1(LN(x)))`` (Restormer.py:99-117) costs
+four HBM round trips in XLA (LN read/write, 1x1 read/write-3x, dwconv
+read/write-3x). This kernel produces the depthwise-convolved qkv tensor in
+ONE pass over x using the same pipelined prev/cur/next row-block scheme as
+kernels/gdfn_pallas.py. The attention contraction itself (global over HW)
+stays in XLA.
+
+Exact math for the bias-free flagship config; biased variants also fused
+(the dwconv's zero padding applies to the PROJECTED map — halo masking
+after the bias add reproduces it).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from image_restoration_tpu.kernels.gdfn_pallas import _pick_tile, _round_up
+
+
+def _kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref, b_ref,
+            dw_ref, db_ref, o_ref, *, th: int, width: int, wp2: int,
+            c_real: int, ln_bias: bool, eps: float, h_total: int):
+    cp = xcur_ref.shape[-1]
+    op = o_ref.shape[-1]
+    hi = pl.program_id(1)
+    th2 = th + 2
+
+    xs = jnp.concatenate(
+        [xprev_ref[0, th - 1 : th], xcur_ref[0], xnext_ref[0, 0:1]], axis=0)
+    xf = xs.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=-1, keepdims=True)
+    s2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
+    mu = s1 / c_real
+    var = s2 / c_real - mu * mu
+    inv = jax.lax.rsqrt(var + eps)
+    if ln_bias:
+        y = (xf - mu) * inv * lnw_ref[:] + lnb_ref[:]
+    else:
+        y = xf * inv * lnw_ref[:]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th2, wp2), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th2, wp2), 1)
+    grow = rows + hi * th - 1
+    valid = (grow >= 0) & (grow < h_total) & (cols >= 1) & (cols <= width)
+    mask = valid.astype(jnp.float32)[:, :, None]
+
+    y2 = y.reshape(th2 * wp2, cp).astype(jnp.bfloat16)
+    proj = jnp.dot(y2, w_ref[:], preferred_element_type=jnp.float32)
+    proj = (proj + b_ref[:]).reshape(th2, wp2, op) * mask
+
+    acc = jnp.zeros((th, width, op), jnp.float32)
+    for kh in range(3):
+        for kw in range(3):
+            acc = acc + proj[kh : kh + th, kw : kw + width, :] * dw_ref[kh * 3 + kw]
+    acc = acc + db_ref[:]
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _forward(x, params, ln_type: str, eps: float):
+    (lnw, lnb, w_qkv, b_qkv, w_dw, b_dw) = params
+    if jax.default_backend() != "tpu":
+        return _reference(x, params, ln_type, eps)
+    b, h, w, c = x.shape
+    oc = w_qkv.reshape(c, -1).shape[-1]
+    cp = _round_up(c, 128)
+    op = _round_up(oc, 128)
+    wp2 = _round_up(w + 2, 16)
+
+    def vmem_bytes(t):
+        xs = 3 * t * wp2 * cp * 2
+        y32 = (t + 2) * wp2 * cp * 4
+        proj = (t + 2) * wp2 * op * 4
+        acc = t * w * op * 4
+        return xs + y32 + proj + acc * 2
+
+    th = 1
+    for t in sorted({d for d in range(1, h + 1) if h % d == 0}):
+        if vmem_bytes(t) <= 9 * 1024 * 1024 and t <= 64:
+            th = t
+
+    f32 = jnp.float32
+    lnw_p = jnp.pad(lnw.astype(f32), (0, cp - c))
+    lnb_p = (jnp.pad(lnb.astype(f32), (0, cp - c)) if lnb is not None
+             else jnp.zeros((cp,), f32))
+    wq = jnp.pad(w_qkv.reshape(c, oc).astype(jnp.bfloat16),
+                 ((0, cp - c), (0, op - oc)))
+    bq = (jnp.pad(b_qkv.astype(f32), (0, op - oc)) if b_qkv is not None
+          else jnp.zeros((op,), f32))
+    dw = jnp.pad(w_dw.reshape(9, oc).astype(f32), ((0, 0), (0, op - oc)))
+    db = (jnp.pad(b_dw.astype(f32), (0, op - oc)) if b_dw is not None
+          else jnp.zeros((op,), f32))
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, wp2 - w - 1), (0, cp - c)))
+    n_hi = h // th
+    kern = functools.partial(_kernel, th=th, width=w, wp2=wp2, c_real=c,
+                             ln_bias=(ln_type != "BiasFree"), eps=eps,
+                             h_total=h)
+    xblk = lambda off: pl.BlockSpec(
+        (1, th, wp2, cp),
+        lambda bi, hi, off=off: (bi, jnp.clip(hi + off, 0, n_hi - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_hi),
+        in_specs=[xblk(-1), xblk(0), xblk(1)] + [vspec] * 6,
+        out_specs=pl.BlockSpec((1, th, w, op), lambda bi, hi: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, op), x.dtype),
+    )(xp, xp, xp, lnw_p, lnb_p, wq, bq, dw, db)
+    return out[..., :oc]
+
+
+def _reference(x, params, ln_type: str, eps: float = 1e-5):
+    (lnw, lnb, w_qkv, b_qkv, w_dw, b_dw) = params
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    if ln_type == "BiasFree":
+        y = xf * jax.lax.rsqrt(var + eps) * lnw
+    else:
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + eps) * lnw + lnb
+    y = y.astype(x.dtype)
+    dt = x.dtype
+    h = jax.lax.conv_general_dilated(
+        y, w_qkv.reshape(1, 1, c, -1).astype(dt), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if b_qkv is not None:
+        h = h + b_qkv.astype(dt)
+    dn = jax.lax.conv_dimension_numbers(h.shape, w_dw.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    h = jax.lax.conv_general_dilated(
+        h, w_dw.astype(dt), (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+        feature_group_count=h.shape[-1])
+    if b_dw is not None:
+        h = h + b_dw.astype(dt)
+    return h
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_ln_qkv_dwconv(x, params, ln_type: str = "WithBias",
+                        eps: float = 1e-5):
+    """dwconv3(qkv1x1(LN(x))) in one Pallas pass.
+
+    params = (ln_w, ln_b|None, w_qkv (C,3C) or (1,1,C,3C), b_qkv|None,
+              w_dw (3,3,1,3C), b_dw|None).
+    """
+    return _forward(x, params, ln_type, eps)
+
+
+def _fwd(x, params, ln_type, eps):
+    return _forward(x, params, ln_type, eps), (x, params)
+
+
+def _bwd(ln_type, eps, res, g):
+    x, params = res
+    _, vjp = jax.vjp(lambda xx, pp: _reference(xx, pp, ln_type, eps), x, params)
+    return vjp(g)
+
+
+fused_ln_qkv_dwconv.defvjp(_fwd, _bwd)

@@ -78,16 +78,59 @@ class TransformerBlock(nn.Module):
     ln_type: str = "WithBias"
     fold_dwconv: bool = False
     fused_gdfn: bool = False  # Pallas fused LN+GDFN tail (kernels/gdfn_pallas)
+    fused_attn: bool = False  # Pallas fused LN+qkv+dwconv (kernels/mdta_pallas)
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = x + MDTA(self.dim, self.num_heads, self.use_bias,
-                     fold_dwconv=self.fold_dwconv, name="attn", **kw)(
-            LayerNorm(self.ln_type, param_dtype=self.param_dtype, name="norm1")(x)
-        )
+        if self.fused_attn:
+            from image_restoration_tpu.kernels.mdta_pallas import (
+                fused_ln_qkv_dwconv,
+            )
+            from image_restoration_tpu.ops.attention import mdta_attention
+            from image_restoration_tpu.ops.common import conv2d
+
+            d = self.dim
+            lnw, lnb = _LNParams(self.ln_type, self.param_dtype,
+                                 name="norm1")(d)
+
+            class _AttnParams(nn.Module):
+                use_bias: bool
+                param_dtype: Any = jnp.float32
+
+                @nn.compact
+                def __call__(self2):
+                    temp = self2.param("temperature", nn.initializers.ones,
+                                       (self.num_heads, 1, 1),
+                                       self2.param_dtype)
+                    wq, bq = ConvParams(3 * d, d, 1, self2.use_bias,
+                                        self2.param_dtype, name="qkv")()
+                    wd, bd = ConvParams(3 * d, 1, 3, self2.use_bias,
+                                        self2.param_dtype,
+                                        name="qkv_dwconv")()
+                    wo, bo = ConvParams(d, d, 1, self2.use_bias,
+                                        self2.param_dtype,
+                                        name="project_out")()
+                    return temp, wq, bq, wd, bd, wo, bo
+
+            temp, wq, bq, wd, bd, wo, bo = _AttnParams(
+                self.use_bias, self.param_dtype, name="attn")()
+            qkv = fused_ln_qkv_dwconv(x, (lnw, lnb, wq, bq, wd, bd),
+                                      self.ln_type)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            a = mdta_attention(q, k, v, temp, self.num_heads)
+            dt = x.dtype if self.dtype is None else self.dtype
+            a = conv2d(a.astype(dt), wo.astype(dt),
+                       bias=None if bo is None else bo.astype(dt))
+            x = x + a
+        else:
+            x = x + MDTA(self.dim, self.num_heads, self.use_bias,
+                         fold_dwconv=self.fold_dwconv, name="attn", **kw)(
+                LayerNorm(self.ln_type, param_dtype=self.param_dtype,
+                          name="norm1")(x)
+            )
         if self.fused_gdfn:
             from image_restoration_tpu.kernels.gdfn_pallas import fused_ln_gdfn
 
@@ -125,6 +168,7 @@ class Restormer(nn.Module):
     dual_pixel_task: bool = False
     fold_dwconv: bool = False  # alternative dense-3x3 folded qkv/FFN convs
     fused_gdfn: bool = False   # Pallas fused LN+GDFN (TPU serving fast path)
+    fused_attn: bool = False   # Pallas fused LN+qkv+dwconv front
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -134,7 +178,8 @@ class Restormer(nn.Module):
                 dim=dim, num_heads=heads, expansion=self.ffn_expansion_factor,
                 use_bias=self.use_bias, ln_type=self.ln_type,
                 fold_dwconv=self.fold_dwconv and dim <= 96,
-                fused_gdfn=self.fused_gdfn, dtype=self.dtype,
+                fused_gdfn=self.fused_gdfn, fused_attn=self.fused_attn,
+                dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"{prefix}_{i}",
             )
             for i in range(n)

@@ -144,3 +144,30 @@ class MessageLogger:
         msg = " ".join(f"{k}={float(v):.4g}" for k, v in scalars.items())
         print(f"[{prefix}] step {step} {msg} eta={eta/60:.1f}min" if eta == eta
               else f"[{prefix}] step {step} {msg}")
+
+
+def model_summary(params, max_depth: int = 2) -> str:
+    """Per-module parameter table (MoCE-IR-main/src/utils/model_summary.py
+    and NeRD-Rain get_parameter_number.py analog): aggregates leaf sizes up
+    to ``max_depth`` module levels and prints counts + MB."""
+    import numpy as np
+
+    rows = {}
+
+    def visit(tree, path):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                visit(v, path + (k,))
+        else:
+            key = "/".join(path[:max_depth])
+            n = int(np.prod(tree.shape)) if hasattr(tree, "shape") else 1
+            rows[key] = rows.get(key, 0) + n
+
+    visit(params, ())
+    total = sum(rows.values())
+    width = max((len(k) for k in rows), default=10)
+    lines = [f"{'module':<{width}}  {'params':>12}  {'MB(fp32)':>9}"]
+    for k in sorted(rows):
+        lines.append(f"{k:<{width}}  {rows[k]:>12,}  {rows[k]*4/1e6:>9.2f}")
+    lines.append(f"{'TOTAL':<{width}}  {total:>12,}  {total*4/1e6:>9.2f}")
+    return "\n".join(lines)

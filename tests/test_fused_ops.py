@@ -75,3 +75,22 @@ def test_fused_ln_gdfn_cpu_fallback(rng):
     got2 = fused_ln_gdfn(x, params, "BiasFree")
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_restormer_fused_attn_parity(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.models.restormer import Restormer
+
+    m0 = Restormer(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+                   heads=(1, 2, 4, 8))
+    m1 = Restormer(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+                   heads=(1, 2, 4, 8), fused_gdfn=True, fused_attn=True)
+    x = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    p = m0.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree.structure(p) == jax.tree.structure(
+        m1.init(jax.random.PRNGKey(0), x)["params"])
+    np.testing.assert_allclose(
+        np.asarray(m0.apply({"params": p}, x)),
+        np.asarray(m1.apply({"params": p}, x)), rtol=5e-5, atol=5e-5)
