@@ -30,7 +30,8 @@ def main():
 
     size, batch, chain = 512, 1, 16
     # fused_gdfn: Pallas LN+GDFN tail (kernels/gdfn_pallas.py)
-    model = Restormer(dtype=jnp.bfloat16, fused_gdfn=True)
+    # fused_attn: Pallas LN+qkv+dwconv front (kernels/mdta_pallas.py)
+    model = Restormer(dtype=jnp.bfloat16, fused_gdfn=True, fused_attn=True)
     x = jnp.full((batch, size, size, 3), 0.5, jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x)
 

@@ -31,6 +31,12 @@ def mdta_attention(q, k, v, temperature, num_heads: int):
     q, k, v: (B, H, W, C); temperature: (heads, 1, 1).
     Returns (B, H, W, C). Channel layout within C is head-major, matching the
     reference rearrange 'b (head c) h w -> b head c (h w)' (Restormer.py:117).
+
+    The per-channel L2 normalization over HW commutes with the contraction:
+    normalize(q)^T normalize(k) == (q^T k) / (||q_c|| ||k_d||) — a rank-1
+    rescale of the tiny (ch x ch) product. Computing it that way avoids
+    materializing fp32-normalized copies of q and k (2 full HBM round trips
+    per block at 512^2).
     """
     b, h, w, c = q.shape
     ch = c // num_heads
@@ -40,11 +46,13 @@ def mdta_attention(q, k, v, temperature, num_heads: int):
         return t.reshape(b, h * w, num_heads, ch)
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
-    # L2-normalize over the token (HW) axis in fp32.
-    q = l2_normalize(q.astype(jnp.float32), axis=1)
-    k = l2_normalize(k.astype(jnp.float32), axis=1)
-    # (B, heads, ch, ch) attention logits, fp32 accumulate on the MXU.
+    qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=1))  # (b,heads,ch)
+    kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=1))
+    qn = jnp.maximum(qn, 1e-12)
+    kn = jnp.maximum(kn, 1e-12)
+    # raw (B, heads, ch, ch) product, fp32 accumulate on the MXU
     attn = jnp.einsum("bnhc,bnhd->bhcd", q, k, preferred_element_type=jnp.float32)
+    attn = attn / (qn[:, :, :, None] * kn[:, :, None, :])
     attn = attn * temperature.reshape(1, num_heads, 1, 1).astype(jnp.float32)
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum(

@@ -51,6 +51,20 @@ MODEL_DEFAULTS: Dict[str, Dict[str, Any]] = {
     "measnet": dict(dim=32),
     "mwformer": dict(),
     "lsnet": dict(variant="t"),
+    # remaining registry entries keep their flax-field defaults, which
+    # already mirror the reference configs; listed so --model help is total
+    "lumisense_moe": dict(),
+    "mymodel": dict(),
+    "rectiformer": dict(),
+    "fpn_restormer": dict(),
+    "ipt": dict(),
+    "edt": dict(),
+    "vig": dict(),
+    "vig_h": dict(),
+    "moce_ir_patch": dict(),
+    "sfsnid": dict(),
+    "hilo": dict(),
+    "pinn": dict(),
 }
 
 

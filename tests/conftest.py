@@ -69,6 +69,12 @@ def stub_common_modules():
         pt = types.ModuleType("ptflops")
         pt.get_model_complexity_info = lambda *a, **k: ("0", "0")
         sys.modules["ptflops"] = pt
+    if "timm" in sys.modules and getattr(sys.modules["timm"], "__spec__", None) is None:
+        # repair a spec-less stub some other test installed: transformers'
+        # find_spec probe raises ValueError on spec-less modules
+        import importlib.machinery
+
+        sys.modules["timm"].__spec__ = importlib.machinery.ModuleSpec("timm", None)
     if "timm" not in sys.modules:
         import importlib.machinery
 

@@ -14,27 +14,9 @@ def ref_mod():
     import sys
     import types
 
-    if "fvcore" not in sys.modules:
-        fv = types.ModuleType("fvcore")
-        fvnn = types.ModuleType("fvcore.nn")
-        fvnn.FlopCountAnalysis = object
-        fvnn.flop_count_table = lambda *a, **k: ""
-        fv.nn = fvnn
-        sys.modules["fvcore"] = fv
-        sys.modules["fvcore.nn"] = fvnn
-    if "timm" not in sys.modules:  # demo_test.py needs timm's to_2tuple
-        timm = types.ModuleType("timm")
-        tm = types.ModuleType("timm.models")
-        tl = types.ModuleType("timm.models.layers")
-        tl.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
-        tl.trunc_normal_ = lambda *a, **k: None
-        tl.DropPath = torch.nn.Identity
-        tm.layers = tl
-        timm.models = tm
-        sys.modules["timm"] = timm
-        sys.modules["timm.models"] = tm
-        sys.modules["timm.models.layers"] = tl
-    from conftest import REFERENCE_ROOT
+    from conftest import REFERENCE_ROOT, stub_common_modules
+
+    stub_common_modules()  # fvcore + spec-equipped timm (demo_test needs to_2tuple)
 
     sys.path.insert(0, REFERENCE_ROOT)  # for its `from demo_test import ...`
     try:

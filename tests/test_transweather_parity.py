@@ -13,25 +13,9 @@ torch = pytest.importorskip("torch")
 
 @pytest.fixture(scope="module")
 def ref_mod():
-    if "timm" not in sys.modules:
-        timm = types.ModuleType("timm")
-        tm = types.ModuleType("timm.models")
-        tl = types.ModuleType("timm.models.layers")
-        tl.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
-        tl.trunc_normal_ = lambda *a, **k: None
+    from conftest import stub_common_modules
 
-        class DropPath(torch.nn.Module):
-            def __init__(self, p=0.0):
-                super().__init__()
-                self.drop_prob = p
-
-            def forward(self, x):
-                return x
-
-        tl.DropPath = DropPath
-        tm.layers = tl
-        timm.models = tm
-        sys.modules.update({"timm": timm, "timm.models": tm, "timm.models.layers": tl})
+    stub_common_modules()  # spec-equipped timm stub (DropPath/to_2tuple)
     sys.path.insert(0, f"{REFERENCE_ROOT}/TransWeather-main")
     try:
         return load_reference_module("TransWeather-main/transweather_model.py", "ref_tw")
