@@ -82,8 +82,13 @@ def _gdfn_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, wc_ref,
     mask = valid.astype(jnp.float32)[:, :, None]
 
     y2 = y.reshape(th2 * wp2, cp).astype(jnp.bfloat16)
-    cont = jnp.dot(y2, wc_ref[:], preferred_element_type=jnp.float32)
-    gate = jnp.dot(y2, wg_ref[:], preferred_element_type=jnp.float32)
+    # pinned precision: global default_matmul_precision("highest") would
+    # request an fp32 contraction on bf16 operands, which Mosaic rejects
+    prec = jax.lax.Precision.DEFAULT
+    cont = jnp.dot(y2, wc_ref[:], preferred_element_type=jnp.float32,
+                   precision=prec)
+    gate = jnp.dot(y2, wg_ref[:], preferred_element_type=jnp.float32,
+                   precision=prec)
     # fp32 residency for the expanded maps: bf16 residency halves VMEM but
     # the 18 per-tap bf16->fp32 converts double the VPU time (profiled on
     # v5e); the tile picker bounds VMEM by shrinking TH instead
@@ -111,7 +116,8 @@ def _gdfn_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, wc_ref,
     erf_z = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
     act = 0.5 * acc_c * (1.0 + erf_z) * acc_g
     act2 = act.reshape(th * width, hp).astype(jnp.bfloat16)
-    out = jnp.dot(act2, wo_ref[:], preferred_element_type=jnp.float32)
+    out = jnp.dot(act2, wo_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
     out = out + bo_ref[:]
     res = xcur_ref[0, :, 1 : 1 + width, :].astype(jnp.float32)
     o_ref[0] = (out.reshape(th, width, cp) + res).astype(o_ref.dtype)

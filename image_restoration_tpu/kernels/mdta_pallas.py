@@ -52,7 +52,10 @@ def _kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref, b_ref,
     mask = valid.astype(jnp.float32)[:, :, None]
 
     y2 = y.reshape(th2 * wp2, cp).astype(jnp.bfloat16)
-    proj = jnp.dot(y2, w_ref[:], preferred_element_type=jnp.float32)
+    # pin precision: a global default_matmul_precision("highest") would ask
+    # Mosaic for an fp32-precision contraction on bf16 operands (unsupported)
+    proj = jnp.dot(y2, w_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
     proj = (proj + b_ref[:]).reshape(th2, wp2, op) * mask
 
     acc = jnp.zeros((th, width, op), jnp.float32)
@@ -63,14 +66,22 @@ def _kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref, b_ref,
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _forward(x, params, ln_type: str, eps: float):
+def _forward(x, params, ln_type: str, eps: float, split_pad: bool = False):
     (lnw, lnb, w_qkv, b_qkv, w_dw, b_dw) = params
     if jax.default_backend() != "tpu":
-        return _reference(x, params, ln_type, eps)
+        return _reference(x, params, ln_type, eps, split_pad=split_pad)
     b, h, w, c = x.shape
     oc = w_qkv.reshape(c, -1).shape[-1]
     cp = _round_up(c, 128)
-    op = _round_up(oc, 128)
+    if split_pad:
+        # place q/k/v each at a 128-lane-aligned slot so the attention-core
+        # kernel can slice them for free: out lanes are
+        # [q | pad | k | pad | v | pad], slot width cps = round_up(oc/3, 128)
+        csub = oc // 3
+        cps = _round_up(csub, 128)
+        op = 3 * cps
+    else:
+        op = _round_up(oc, 128)
     wp2 = _round_up(w + 2, 16)
 
     def vmem_bytes(t):
@@ -89,12 +100,24 @@ def _forward(x, params, ln_type: str, eps: float):
     lnw_p = jnp.pad(lnw.astype(f32), (0, cp - c))
     lnb_p = (jnp.pad(lnb.astype(f32), (0, cp - c)) if lnb is not None
              else jnp.zeros((cp,), f32))
-    wq = jnp.pad(w_qkv.reshape(c, oc).astype(jnp.bfloat16),
-                 ((0, cp - c), (0, op - oc)))
-    bq = (jnp.pad(b_qkv.astype(f32), (0, op - oc)) if b_qkv is not None
+
+    def place(mat2d, fill_dtype):
+        """Pad the oc columns of (rows, oc) into the op-wide slot layout."""
+        rows = mat2d.shape[0]
+        if not split_pad:
+            return jnp.pad(mat2d, ((0, 0), (0, op - oc)))
+        out = jnp.zeros((rows, op), fill_dtype)
+        for i in range(3):
+            out = jax.lax.dynamic_update_slice(
+                out, mat2d[:, i * csub:(i + 1) * csub], (0, i * cps))
+        return out
+
+    wq = jnp.pad(place(w_qkv.reshape(c, oc).astype(jnp.bfloat16), jnp.bfloat16),
+                 ((0, cp - c), (0, 0)))
+    bq = (place(b_qkv.astype(f32)[None], f32)[0] if b_qkv is not None
           else jnp.zeros((op,), f32))
-    dw = jnp.pad(w_dw.reshape(9, oc).astype(f32), ((0, 0), (0, op - oc)))
-    db = (jnp.pad(b_dw.astype(f32), (0, op - oc)) if b_dw is not None
+    dw = place(w_dw.reshape(9, oc).astype(f32), f32)
+    db = (place(b_dw.astype(f32)[None], f32)[0] if b_dw is not None
           else jnp.zeros((op,), f32))
 
     xp = jnp.pad(x, ((0, 0), (0, 0), (1, wp2 - w - 1), (0, cp - c)))
@@ -115,10 +138,11 @@ def _forward(x, params, ln_type: str, eps: float):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, op), x.dtype),
     )(xp, xp, xp, lnw_p, lnb_p, wq, bq, dw, db)
-    return out[..., :oc]
+    return out if split_pad else out[..., :oc]
 
 
-def _reference(x, params, ln_type: str, eps: float = 1e-5):
+def _reference(x, params, ln_type: str, eps: float = 1e-5,
+               split_pad: bool = False):
     (lnw, lnb, w_qkv, b_qkv, w_dw, b_dw) = params
     c = x.shape[-1]
     xf = x.astype(jnp.float32)
@@ -142,6 +166,13 @@ def _reference(x, params, ln_type: str, eps: float = 1e-5):
         feature_group_count=h.shape[-1])
     if b_dw is not None:
         h = h + b_dw.astype(dt)
+    if split_pad:
+        oc = h.shape[-1]
+        csub = oc // 3
+        cps = _round_up(csub, 128)
+        parts = [jnp.pad(p, ((0, 0),) * 3 + ((0, cps - csub),))
+                 for p in jnp.split(h, 3, axis=-1)]
+        h = jnp.concatenate(parts, axis=-1)
     return h
 
 
@@ -167,3 +198,27 @@ def _bwd(ln_type, eps, res, g):
 
 
 fused_ln_qkv_dwconv.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_ln_qkv_dwconv_split(x, params, ln_type: str = "WithBias",
+                              eps: float = 1e-5):
+    """Same as fused_ln_qkv_dwconv, but q/k/v each land on a 128-lane-aligned
+    slot: output (B, H, W, 3*cps) with cps = round_up(C, 128), real channels
+    at [i*cps : i*cps+C]. Feeds kernels/attn_core_pallas.fused_mdta_core."""
+    return _forward(x, params, ln_type, eps, split_pad=True)
+
+
+def _fwd_split(x, params, ln_type, eps):
+    return _forward(x, params, ln_type, eps, split_pad=True), (x, params)
+
+
+def _bwd_split(ln_type, eps, res, g):
+    x, params = res
+    _, vjp = jax.vjp(
+        lambda xx, pp: _reference(xx, pp, ln_type, eps, split_pad=True),
+        x, params)
+    return vjp(g)
+
+
+fused_ln_qkv_dwconv_split.defvjp(_fwd_split, _bwd_split)

@@ -86,11 +86,12 @@ class TransformerBlock(nn.Module):
     def __call__(self, x):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         if self.fused_attn:
-            from image_restoration_tpu.kernels.mdta_pallas import (
-                fused_ln_qkv_dwconv,
+            from image_restoration_tpu.kernels.attn_core_pallas import (
+                fused_mdta_core,
             )
-            from image_restoration_tpu.ops.attention import mdta_attention
-            from image_restoration_tpu.ops.common import conv2d
+            from image_restoration_tpu.kernels.mdta_pallas import (
+                fused_ln_qkv_dwconv_split,
+            )
 
             d = self.dim
             lnw, lnb = _LNParams(self.ln_type, self.param_dtype,
@@ -117,14 +118,9 @@ class TransformerBlock(nn.Module):
 
             temp, wq, bq, wd, bd, wo, bo = _AttnParams(
                 self.use_bias, self.param_dtype, name="attn")()
-            qkv = fused_ln_qkv_dwconv(x, (lnw, lnb, wq, bq, wd, bd),
-                                      self.ln_type)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            a = mdta_attention(q, k, v, temp, self.num_heads)
-            dt = x.dtype if self.dtype is None else self.dtype
-            a = conv2d(a.astype(dt), wo.astype(dt),
-                       bias=None if bo is None else bo.astype(dt))
-            x = x + a
+            qkv = fused_ln_qkv_dwconv_split(x, (lnw, lnb, wq, bq, wd, bd),
+                                            self.ln_type)
+            x = fused_mdta_core(qkv, x, temp, wo, bo, self.num_heads)
         else:
             x = x + MDTA(self.dim, self.num_heads, self.use_bias,
                          fold_dwconv=self.fold_dwconv, name="attn", **kw)(

@@ -77,6 +77,27 @@ def test_fused_ln_gdfn_cpu_fallback(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_restormer_fused_grad_parity(rng):
+    """custom_vjp backward of both fused kernels matches the unfused grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.models.restormer import Restormer
+
+    cfg = dict(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+               heads=(1, 2, 4, 8))
+    m0 = Restormer(**cfg)
+    m1 = Restormer(**cfg, fused_gdfn=True, fused_attn=True)
+    x = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    p = m0.init(jax.random.PRNGKey(0), x)["params"]
+    g0 = jax.grad(lambda pp: jnp.sum(m0.apply({"params": pp}, x) ** 2))(p)
+    g1 = jax.grad(lambda pp: jnp.sum(m1.apply({"params": pp}, x) ** 2))(p)
+    f0 = np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(g0)])
+    f1 = np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(g1)])
+    rel = np.abs(f0 - f1).max() / (np.abs(f0).max() + 1e-12)
+    assert rel < 1e-5, rel
+
+
 def test_restormer_fused_attn_parity(rng):
     import jax
     import jax.numpy as jnp
