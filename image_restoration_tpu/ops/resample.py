@@ -38,6 +38,14 @@ class Downsample(nn.Module):
     """3x3 conv to C/2 then PixelUnshuffle(2) => (H/2, W/2, 2C).
 
     Restormer.py:171-179. The conv is bias-free.
+
+    Computed as ONE stride-2 4x4 conv: out[i,j, o*4+dy*2+dx] =
+    conv3x3(x)[2i+dy, 2j+dx, o], so embedding the 3x3 kernel at offset
+    (dy,dx) of a 4x4 kernel per phase reproduces the composition exactly.
+    One conv at half resolution with 4x the output channels is a far
+    better MXU/layout shape than a thin stride-1 conv followed by a
+    6D shuffle transpose. Param tree is unchanged (built from the same
+    (3,3,C,C/2) kernel at apply time).
     """
 
     n_feat: int
@@ -46,9 +54,20 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = Conv(self.n_feat // 2, 3, padding=1, use_bias=False, dtype=self.dtype,
-                 param_dtype=self.param_dtype, name="body_0")(x)
-        return pixel_unshuffle(x, 2)
+        from image_restoration_tpu.ops.common import ConvParams
+
+        co = self.n_feat // 2
+        ci = x.shape[-1]
+        w, _ = ConvParams(co, ci, 3, False, self.param_dtype, name="body_0")()
+        dt = x.dtype if self.dtype is None else self.dtype
+        k4 = jnp.zeros((4, 4, ci, co, 2, 2), w.dtype)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                k4 = k4.at[dy:dy + 3, dx:dx + 3, :, :, dy, dx].set(w)
+        k4 = k4.reshape(4, 4, ci, co * 4)
+        return jax.lax.conv_general_dilated(
+            x.astype(dt), k4.astype(dt), (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class Upsample(nn.Module):
