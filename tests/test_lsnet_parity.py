@@ -18,8 +18,15 @@ def _stub_lsnet_deps():
     conftest.stub_common_modules()
     # triton (never executed on CPU)
     if "triton" not in sys.modules:
+        import importlib.machinery
+
         tr = types.ModuleType("triton")
         tl = types.ModuleType("triton.language")
+        # transformers probes find_spec("triton"); spec-less stubs make it
+        # raise ValueError in any later test that imports transformers
+        tr.__spec__ = importlib.machinery.ModuleSpec("triton", None)
+        tr.__version__ = "0.0"
+        tl.__spec__ = importlib.machinery.ModuleSpec("triton.language", None)
         tr.jit = lambda f: f
         tl.constexpr = object
         for a in ("float16", "float32", "float64"):

@@ -123,8 +123,10 @@ def _install_timm_stub():
     tv.Attention = _Attention
     tr = types.ModuleType("timm.models.registry")
     tr.register_model = lambda f: f
-    sys.modules.setdefault("timm.models.vision_transformer", tv)
-    sys.modules.setdefault("timm.models.registry", tr)
+    # overwrite, don't setdefault: test_lsnet_parity installs its own
+    # timm.models.vision_transformer stub (no Attention) in the same session
+    sys.modules["timm.models.vision_transformer"] = tv
+    sys.modules["timm.models.registry"] = tr
     import timm
 
     timm.models.vision_transformer = tv
