@@ -1,0 +1,431 @@
+"""Whole-TransformerBlock Pallas fusion: two HBM passes per block.
+
+The Restormer block (Restormer.py:137-150) is, per 512^2 level-1 block,
+~70 GFLOP of MXU work but — composed from the three existing fused kernels
+(mdta front, attn core A/B, GDFN tail) — still makes ~8 HBM trips plus four
+XLA pad/slice copies. This module collapses the whole block to TWO passes
+over a persistent "canvas" layout:
+
+  canvas: (B, H, WP, CP) bf16 — image columns at [1 .. w], one zero border
+  column left/right (the dwconv halo), lane-padded channels. The canvas is
+  produced once per level (``canvas_pad``) and threads through every block
+  of that level unchanged, so no per-block pad/slice copies exist at all.
+
+  Pass 1 (front+accumulate, grid (B, H/th) accumulating over rows):
+      read x tile -> LN1 -> qkv 1x1 (MXU) -> halo-masked 3x3 depthwise
+      -> write ONLY the v slot back to HBM (canvas layout)
+      -> accumulate  q^T k  (cps x cps, fp32, MXU)  and per-channel
+         sum-of-squares of q/k across the grid.
+      q and k never touch HBM.
+
+  Finalize (plain XLA, O(C^2)): L2-norm rescale of the raw product
+  (normalization commutes with the contraction), per-head temperature,
+  per-head softmax, scatter onto the block-diagonal, transpose -> A^T.
+
+  Pass 2 (apply+GDFN, grid (B, H/th)):
+      read v tile (+1 halo row each side) and x tile
+      -> attn_out = x + (v @ A^T) @ W_proj + b   (2 MXU matmuls, computed
+         for th+2 rows so the GDFN dwconv halo is recomputed locally
+         instead of re-read from HBM)
+      -> LN2 -> [cont|gate] 1x1 expand (MXU) -> halo-masked 3x3 depthwise
+      -> gelu(cont)*gate -> 1x1 out (MXU) + attn_out residual
+      -> write the block output tile (canvas layout).
+
+HBM traffic per block drops from ~1.1 GB to ~0.34 GB at 512^2 x 96 (the
+bench-dominating shape). Backward = custom VJP recomputing the plain-XLA
+composition (exact gradients). Non-TPU backends run the reference
+composition on the unpadded tensor (tests validate plumbing + math on CPU;
+TPU numerics are checked by tools/check_fused_block.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from image_restoration_tpu.kernels.gdfn_pallas import (
+    _reference_ln_gdfn,
+    _round_up,
+)
+from image_restoration_tpu.kernels.mdta_pallas import _reference as _ref_front
+from image_restoration_tpu.kernels.attn_core_pallas import _reference_core
+
+VMEM_BUDGET = 9 * 1024 * 1024
+
+
+# ---------------------------------------------------------------- canvas ---
+
+def canvas_pad(x, *, lanes: int = 128):
+    """(B,H,W,C) -> (B,H,WP,CP) with image at columns [1..w], zero borders."""
+    b, h, w, c = x.shape
+    wp = _round_up(w + 2, 16)
+    cp = _round_up(c, lanes)
+    return jnp.pad(x, ((0, 0), (0, 0), (1, wp - w - 1), (0, cp - c)))
+
+
+def canvas_unpad(xc, w: int, c: int):
+    return xc[:, :, 1 : 1 + w, :c]
+
+
+# ---------------------------------------------------------------- pass 1 ---
+
+def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
+                  b_ref, dw_ref, db_ref, v_ref, qkprod_ref, qss_ref, kss_ref,
+                  *, th: int, width: int, c_real: int, cps: int,
+                  ln_bias: bool, eps: float, h_total: int):
+    wp = xcur_ref.shape[2]
+    cp = xcur_ref.shape[-1]
+    op = w_ref.shape[-1]  # 3*cps
+    hi = pl.program_id(1)
+    th2 = th + 2
+
+    xs = jnp.concatenate(
+        [xprev_ref[0, th - 1 : th], xcur_ref[0], xnext_ref[0, 0:1]], axis=0)
+    xf = xs.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=-1, keepdims=True)
+    s2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
+    mu = s1 / c_real
+    var = s2 / c_real - mu * mu
+    inv = jax.lax.rsqrt(var + eps)
+    if ln_bias:
+        y = (xf - mu) * inv * lnw_ref[:] + lnb_ref[:]
+    else:
+        y = xf * inv * lnw_ref[:]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th2, wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th2, wp), 1)
+    grow = rows + hi * th - 1
+    valid = (grow >= 0) & (grow < h_total) & (cols >= 1) & (cols <= width)
+    mask = valid.astype(jnp.float32)[:, :, None]
+
+    y2 = y.reshape(th2 * wp, cp).astype(jnp.bfloat16)
+    proj = jnp.dot(y2, w_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
+    proj = (proj + b_ref[:]).reshape(th2, wp, op) * mask
+
+    acc = jnp.zeros((th, width, op), jnp.float32)
+    for kh in range(3):
+        for kw in range(3):
+            acc = acc + proj[kh : kh + th, kw : kw + width, :] * dw_ref[kh * 3 + kw]
+    acc = acc + db_ref[:]
+
+    # v slot -> canvas-layout output tile (zero borders)
+    v_ref[0] = jnp.zeros((th, wp, cps), v_ref.dtype)
+    v_ref[0, :, 1 : 1 + width, :] = acc[:, :, 2 * cps :].astype(v_ref.dtype)
+
+    q = acc[:, :, :cps].reshape(th * width, cps).astype(jnp.bfloat16)
+    k = acc[:, :, cps : 2 * cps].reshape(th * width, cps).astype(jnp.bfloat16)
+    prod = jax.lax.dot_general(q, k, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
+    qf = acc[:, :, :cps].reshape(th * width, cps)
+    kf = acc[:, :, cps : 2 * cps].reshape(th * width, cps)
+    qs = jnp.sum(qf * qf, axis=0, keepdims=True)
+    ks = jnp.sum(kf * kf, axis=0, keepdims=True)
+
+    @pl.when(hi == 0)
+    def _init():
+        qkprod_ref[0] = prod
+        qss_ref[0] = qs
+        kss_ref[0] = ks
+
+    @pl.when(hi != 0)
+    def _accum():
+        qkprod_ref[0] += prod
+        qss_ref[0] += qs
+        kss_ref[0] += ks
+
+
+# ---------------------------------------------------------------- pass 2 ---
+
+def _apply_gdfn_kernel(vprev_ref, vcur_ref, vnext_ref, xprev_ref, xcur_ref,
+                       xnext_ref, at_ref, wp_ref, bp_ref, lnw_ref, lnb_ref,
+                       wc_ref, wg_ref, bc_ref, bg_ref, dwc_ref, dwg_ref,
+                       dbc_ref, dbg_ref, wo_ref, bo_ref, o_ref, *, th: int,
+                       width: int, c_real: int, ln_bias: bool, eps: float,
+                       h_total: int):
+    wp = xcur_ref.shape[2]
+    cp = xcur_ref.shape[-1]
+    cps = vcur_ref.shape[-1]
+    hp = wc_ref.shape[-1]
+    hi = pl.program_id(1)
+    th2 = th + 2
+    prec = jax.lax.Precision.DEFAULT
+
+    vs = jnp.concatenate(
+        [vprev_ref[0, th - 1 : th], vcur_ref[0], vnext_ref[0, 0:1]], axis=0)
+    xs = jnp.concatenate(
+        [xprev_ref[0, th - 1 : th], xcur_ref[0], xnext_ref[0, 0:1]], axis=0)
+
+    # attn_out = x + (v @ A^T) @ W_proj + b, for th+2 rows (GDFN halo rows
+    # recomputed locally — cheaper than an extra HBM round trip)
+    v2 = vs.reshape(th2 * wp, cps)
+    t = jnp.dot(v2, at_ref[0], preferred_element_type=jnp.float32,
+                precision=prec)
+    t = t.astype(vs.dtype)
+    ao = jnp.dot(t, wp_ref[:], preferred_element_type=jnp.float32,
+                 precision=prec) + bp_ref[:]
+    ao = ao.reshape(th2, wp, cp) + xs.astype(jnp.float32)
+
+    # LN2 over the real channel lanes (padded lanes of ao are zero: x pad is
+    # zero, W_proj pad columns are zero, b pad is zero)
+    s1 = jnp.sum(ao, axis=-1, keepdims=True)
+    s2 = jnp.sum(ao * ao, axis=-1, keepdims=True)
+    mu = s1 / c_real
+    var = s2 / c_real - mu * mu
+    inv = jax.lax.rsqrt(var + eps)
+    if ln_bias:
+        y = (ao - mu) * inv * lnw_ref[:] + lnb_ref[:]
+    else:
+        y = ao * inv * lnw_ref[:]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th2, wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th2, wp), 1)
+    grow = rows + hi * th - 1
+    valid = (grow >= 0) & (grow < h_total) & (cols >= 1) & (cols <= width)
+    mask = valid.astype(jnp.float32)[:, :, None]
+
+    y2 = y.reshape(th2 * wp, cp).astype(jnp.bfloat16)
+    cont = jnp.dot(y2, wc_ref[:], preferred_element_type=jnp.float32,
+                   precision=prec)
+    gate = jnp.dot(y2, wg_ref[:], preferred_element_type=jnp.float32,
+                   precision=prec)
+    cont = (cont + bc_ref[:]).reshape(th2, wp, hp) * mask
+    gate = (gate + bg_ref[:]).reshape(th2, wp, hp) * mask
+
+    acc_c = jnp.zeros((th, width, hp), jnp.float32)
+    acc_g = jnp.zeros((th, width, hp), jnp.float32)
+    for kh in range(3):
+        for kw in range(3):
+            k = kh * 3 + kw
+            acc_c = acc_c + cont[kh : kh + th, kw : kw + width, :] * dwc_ref[k]
+            acc_g = acc_g + gate[kh : kh + th, kw : kw + width, :] * dwg_ref[k]
+    acc_c = acc_c + dbc_ref[:]
+    acc_g = acc_g + dbg_ref[:]
+
+    # exact-gelu via Abramowitz-Stegun erf (Mosaic lowers no erf primitive)
+    z = acc_c * 0.7071067811865476
+    az = jnp.abs(z)
+    tt = 1.0 / (1.0 + 0.3275911 * az)
+    poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
+        1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
+    erf_z = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+    act = 0.5 * acc_c * (1.0 + erf_z) * acc_g
+    act2 = act.reshape(th * width, hp).astype(jnp.bfloat16)
+    out = jnp.dot(act2, wo_ref[:], preferred_element_type=jnp.float32,
+                  precision=prec) + bo_ref[:]
+    out = out.reshape(th, width, cp) + ao[1 : 1 + th, 1 : 1 + width, :]
+
+    o_ref[0] = jnp.zeros((th, wp, cp), o_ref.dtype)
+    o_ref[0, :, 1 : 1 + width, :] = out.astype(o_ref.dtype)
+
+
+# -------------------------------------------------------------- assembly ---
+
+def _pack_params(params, c, cp, cps, hp, hidden):
+    """Pad every weight into the lane-aligned canvas layout."""
+    (ln1w, ln1b, w_qkv, b_qkv, w_dw, b_dw, temp, w_proj, b_proj,
+     ln2w, ln2b, w_in, b_in, w_dw2, b_dw2, w_out, b_out) = params
+    f32, bf = jnp.float32, jnp.bfloat16
+    z = lambda n: jnp.zeros((n,), f32)
+    op = 3 * cps
+
+    def place3(mat2d, dtype):
+        rows = mat2d.shape[0]
+        out = jnp.zeros((rows, op), dtype)
+        for i in range(3):
+            out = jax.lax.dynamic_update_slice(
+                out, mat2d[:, i * c : (i + 1) * c], (0, i * cps))
+        return out
+
+    p = {}
+    p["ln1w"] = jnp.pad(ln1w.astype(f32), (0, cp - c))
+    p["ln1b"] = (jnp.pad(ln1b.astype(f32), (0, cp - c)) if ln1b is not None
+                 else jnp.zeros((cp,), f32))
+    p["wq"] = jnp.pad(place3(w_qkv.reshape(c, 3 * c).astype(bf), bf),
+                      ((0, cp - c), (0, 0)))
+    p["bq"] = (place3(b_qkv.astype(f32)[None], f32)[0] if b_qkv is not None
+               else jnp.zeros((op,), f32))
+    p["dw"] = place3(w_dw.reshape(9, 3 * c).astype(f32), f32)
+    p["db"] = (place3(b_dw.astype(f32)[None], f32)[0] if b_dw is not None
+               else jnp.zeros((op,), f32))
+    p["wp"] = jnp.pad(w_proj.reshape(c, c).astype(bf),
+                      ((0, cps - c), (0, cp - c)))
+    p["bp"] = (jnp.pad(b_proj.astype(f32), (0, cp - c))
+               if b_proj is not None else jnp.zeros((cp,), f32))
+    p["ln2w"] = jnp.pad(ln2w.astype(f32), (0, cp - c))
+    p["ln2b"] = (jnp.pad(ln2b.astype(f32), (0, cp - c)) if ln2b is not None
+                 else jnp.zeros((cp,), f32))
+    wi = w_in.reshape(c, 2 * hidden).astype(bf)
+    p["wc"] = jnp.pad(wi[:, :hidden], ((0, cp - c), (0, hp - hidden)))
+    p["wg"] = jnp.pad(wi[:, hidden:], ((0, cp - c), (0, hp - hidden)))
+    p["bc"] = (jnp.pad(b_in[:hidden].astype(f32), (0, hp - hidden))
+               if b_in is not None else z(hp))
+    p["bg"] = (jnp.pad(b_in[hidden:].astype(f32), (0, hp - hidden))
+               if b_in is not None else z(hp))
+    dw2 = w_dw2.reshape(9, 2 * hidden).astype(f32)
+    p["dwc"] = jnp.pad(dw2[:, :hidden], ((0, 0), (0, hp - hidden)))
+    p["dwg"] = jnp.pad(dw2[:, hidden:], ((0, 0), (0, hp - hidden)))
+    p["dbc"] = (jnp.pad(b_dw2[:hidden].astype(f32), (0, hp - hidden))
+                if b_dw2 is not None else z(hp))
+    p["dbg"] = (jnp.pad(b_dw2[hidden:].astype(f32), (0, hp - hidden))
+                if b_dw2 is not None else z(hp))
+    p["wo"] = jnp.pad(w_out.reshape(hidden, c).astype(bf),
+                      ((0, hp - hidden), (0, cp - c)))
+    p["bo"] = (jnp.pad(b_out.astype(f32), (0, cp - c))
+               if b_out is not None else jnp.zeros((cp,), f32))
+    return p
+
+
+def _pick_th(vmem_of, h):
+    th = 1
+    for t in sorted({d for d in range(1, h + 1) if h % d == 0}):
+        if vmem_of(t) <= VMEM_BUDGET and t <= 64:
+            th = t
+    return th
+
+
+def _reference_block(x, params, num_heads, ln_type, eps):
+    (ln1w, ln1b, w_qkv, b_qkv, w_dw, b_dw, temp, w_proj, b_proj,
+     ln2w, ln2b, w_in, b_in, w_dw2, b_dw2, w_out, b_out) = params
+    qkv = _ref_front(x, (ln1w, ln1b, w_qkv, b_qkv, w_dw, b_dw), ln_type, eps,
+                     split_pad=True)
+    x = _reference_core(qkv, x, temp, w_proj, b_proj, num_heads)
+    return _reference_ln_gdfn(
+        x, (ln2w, ln2b, w_in, b_in, w_dw2, b_dw2, w_out, b_out), ln_type, eps)
+
+
+def _forward(xc, params, cfg):
+    (c, w, num_heads, ln_type, eps) = cfg
+    if jax.default_backend() != "tpu":
+        x = canvas_unpad(xc, w, c)
+        out = _reference_block(x, params, num_heads, ln_type, eps)
+        return canvas_pad(out)
+
+    b, h, wp, cp = xc.shape
+    cps = _round_up(c, 128)
+    op = 3 * cps
+    hidden = params[11].reshape(c, -1).shape[-1] // 2
+    hp = _round_up(hidden, 128)
+    ch = c // num_heads
+    ln_bias = ln_type != "BiasFree"
+    pk = _pack_params(params, c, cp, cps, hp, hidden)
+
+    # ---- pass 1 ----
+    def vmem1(t):
+        return (3 * t * wp * cp * 2 + (t + 2) * wp * cp * 4
+                + (t + 2) * wp * op * 4 + t * w * op * 4
+                + t * wp * cps * 2 + cps * cps * 4)
+
+    th1 = _pick_th(vmem1, h)
+    n1 = h // th1
+    xblk = lambda off, tt, nn, lanes: pl.BlockSpec(
+        (1, tt, wp, lanes),
+        lambda bi, hi, off=off, nn=nn: (bi, jnp.clip(hi + off, 0, nn - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kern1 = functools.partial(
+        _front_kernel, th=th1, width=w, c_real=c, cps=cps, ln_bias=ln_bias,
+        eps=eps, h_total=h)
+    vmap, prod, qss, kss = pl.pallas_call(
+        kern1,
+        grid=(b, n1),
+        in_specs=[xblk(-1, th1, n1, cp), xblk(0, th1, n1, cp),
+                  xblk(1, th1, n1, cp)] + [vspec] * 6,
+        out_specs=[
+            pl.BlockSpec((1, th1, wp, cps), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cps, cps), lambda bi, hi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cps), lambda bi, hi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cps), lambda bi, hi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, wp, cps), xc.dtype),
+            jax.ShapeDtypeStruct((b, cps, cps), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, cps), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, cps), jnp.float32),
+        ],
+    )(xc, xc, xc, pk["ln1w"], pk["ln1b"], pk["wq"], pk["bq"], pk["dw"],
+      pk["db"])
+
+    # ---- finalize: norm rescale + temperature + per-head softmax ----
+    temp = params[6]
+    qn = jnp.maximum(jnp.sqrt(qss[:, 0, :c]), 1e-12)
+    kn = jnp.maximum(jnp.sqrt(kss[:, 0, :c]), 1e-12)
+    logits = prod[:, :c, :c] / (qn[:, :, None] * kn[:, None, :])
+    tv = temp.reshape(num_heads).astype(jnp.float32)
+    afull = jnp.zeros((b, cps, cps), jnp.float32)
+    for i in range(num_heads):
+        blk = logits[:, i * ch : (i + 1) * ch, i * ch : (i + 1) * ch] * tv[i]
+        blk = jax.nn.softmax(blk, axis=-1)
+        afull = jax.lax.dynamic_update_slice(afull, blk, (0, i * ch, i * ch))
+    at = jnp.swapaxes(afull, 1, 2).astype(xc.dtype)
+
+    # ---- pass 2 ----
+    def vmem2(t):
+        return (3 * t * wp * (cps + cp) * 2
+                + 2 * (t + 2) * wp * cp * 4          # t + ao
+                + 2 * (t + 2) * wp * hp * 4          # cont + gate
+                + 2 * t * w * hp * 4                 # acc_c + acc_g
+                + t * wp * cp * 4 + cps * cp * 4)
+
+    th2 = _pick_th(vmem2, h)
+    n2 = h // th2
+    kern2 = functools.partial(
+        _apply_gdfn_kernel, th=th2, width=w, c_real=c, ln_bias=ln_bias,
+        eps=eps, h_total=h)
+    out = pl.pallas_call(
+        kern2,
+        grid=(b, n2),
+        in_specs=[xblk(-1, th2, n2, cps), xblk(0, th2, n2, cps),
+                  xblk(1, th2, n2, cps),
+                  xblk(-1, th2, n2, cp), xblk(0, th2, n2, cp),
+                  xblk(1, th2, n2, cp),
+                  pl.BlockSpec((1, cps, cps), lambda bi, hi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)] + [vspec] * 14,
+        out_specs=pl.BlockSpec((1, th2, wp, cp), lambda bi, hi: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, wp, cp), xc.dtype),
+    )(vmap, vmap, vmap, xc, xc, xc, at, pk["wp"], pk["bp"], pk["ln2w"],
+      pk["ln2b"], pk["wc"], pk["wg"], pk["bc"], pk["bg"], pk["dwc"],
+      pk["dwg"], pk["dbc"], pk["dbg"], pk["wo"], pk["bo"])
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_block(xc, params, cfg):
+    """One whole Restormer TransformerBlock on the canvas layout.
+
+    xc: (B, H, WP, CP) canvas from ``canvas_pad``; cfg = (c_real, w_real,
+    num_heads, ln_type, eps) static. params = 17-tuple:
+    (ln1_w, ln1_b, w_qkv, b_qkv, w_dw, b_dw, temperature, w_proj, b_proj,
+     ln2_w, ln2_b, w_in, b_in, w_dw2, b_dw2, w_out, b_out).
+    Returns the next block's canvas.
+    """
+    return _forward(xc, params, cfg)
+
+
+def _fwd(xc, params, cfg):
+    return _forward(xc, params, cfg), (xc, params)
+
+
+def _bwd(cfg, res, g):
+    (c, w, num_heads, ln_type, eps) = cfg
+    xc, params = res
+
+    def ref(xcc, pp):
+        x = canvas_unpad(xcc, w, c)
+        return canvas_pad(_reference_block(x, pp, num_heads, ln_type, eps))
+
+    _, vjp = jax.vjp(ref, xc, params)
+    return vjp(g)
+
+
+fused_block.defvjp(_fwd, _bwd)

@@ -68,6 +68,28 @@ class _GDFNParams(nn.Module):
         return w_in, b_in, w_dw, b_dw, w_out, b_out
 
 
+class _AttnParams(nn.Module):
+    """Param twin of MDTA (temperature / qkv / qkv_dwconv / project_out)."""
+
+    dim: int
+    num_heads: int
+    use_bias: bool
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        d = self.dim
+        temp = self.param("temperature", nn.initializers.ones,
+                          (self.num_heads, 1, 1), self.param_dtype)
+        wq, bq = ConvParams(3 * d, d, 1, self.use_bias, self.param_dtype,
+                            name="qkv")()
+        wd, bd = ConvParams(3 * d, 1, 3, self.use_bias, self.param_dtype,
+                            name="qkv_dwconv")()
+        wo, bo = ConvParams(d, d, 1, self.use_bias, self.param_dtype,
+                            name="project_out")()
+        return temp, wq, bq, wd, bd, wo, bo
+
+
 class TransformerBlock(nn.Module):
     """LN -> MDTA -> +res; LN -> GDFN -> +res (Restormer.py:137-150)."""
 
@@ -79,12 +101,33 @@ class TransformerBlock(nn.Module):
     fold_dwconv: bool = False
     fused_gdfn: bool = False  # Pallas fused LN+GDFN tail (kernels/gdfn_pallas)
     fused_attn: bool = False  # Pallas fused LN+qkv+dwconv (kernels/mdta_pallas)
+    fused_block: bool = False  # whole-block 2-pass kernel (kernels/block_pallas)
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, w_real: int | None = None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.fused_block:
+            # x is a canvas tensor from kernels.block_pallas.canvas_pad;
+            # w_real is the pre-padding image width (static).
+            from image_restoration_tpu.kernels.block_pallas import fused_block
+
+            d = self.dim
+            lnw1, lnb1 = _LNParams(self.ln_type, self.param_dtype,
+                                   name="norm1")(d)
+            temp, wq, bq, wd, bd, wo, bo = _AttnParams(
+                d, self.num_heads, self.use_bias, self.param_dtype,
+                name="attn")()
+            lnw2, lnb2 = _LNParams(self.ln_type, self.param_dtype,
+                                   name="norm2")(d)
+            w_in, b_in, w_dw2, b_dw2, w_out, b_out = _GDFNParams(
+                d, self.expansion, self.use_bias, self.param_dtype,
+                name="ffn")()
+            params = (lnw1, lnb1, wq, bq, wd, bd, temp, wo, bo, lnw2, lnb2,
+                      w_in, b_in, w_dw2, b_dw2, w_out, b_out)
+            return fused_block(
+                x, params, (d, w_real, self.num_heads, self.ln_type, 1e-5))
         if self.fused_attn:
             from image_restoration_tpu.kernels.attn_core_pallas import (
                 fused_mdta_core,
@@ -96,28 +139,9 @@ class TransformerBlock(nn.Module):
             d = self.dim
             lnw, lnb = _LNParams(self.ln_type, self.param_dtype,
                                  name="norm1")(d)
-
-            class _AttnParams(nn.Module):
-                use_bias: bool
-                param_dtype: Any = jnp.float32
-
-                @nn.compact
-                def __call__(self2):
-                    temp = self2.param("temperature", nn.initializers.ones,
-                                       (self.num_heads, 1, 1),
-                                       self2.param_dtype)
-                    wq, bq = ConvParams(3 * d, d, 1, self2.use_bias,
-                                        self2.param_dtype, name="qkv")()
-                    wd, bd = ConvParams(3 * d, 1, 3, self2.use_bias,
-                                        self2.param_dtype,
-                                        name="qkv_dwconv")()
-                    wo, bo = ConvParams(d, d, 1, self2.use_bias,
-                                        self2.param_dtype,
-                                        name="project_out")()
-                    return temp, wq, bq, wd, bd, wo, bo
-
             temp, wq, bq, wd, bd, wo, bo = _AttnParams(
-                self.use_bias, self.param_dtype, name="attn")()
+                d, self.num_heads, self.use_bias, self.param_dtype,
+                name="attn")()
             qkv = fused_ln_qkv_dwconv_split(x, (lnw, lnb, wq, bq, wd, bd),
                                             self.ln_type)
             x = fused_mdta_core(qkv, x, temp, wo, bo, self.num_heads)
@@ -165,6 +189,7 @@ class Restormer(nn.Module):
     fold_dwconv: bool = False  # alternative dense-3x3 folded qkv/FFN convs
     fused_gdfn: bool = False   # Pallas fused LN+GDFN (TPU serving fast path)
     fused_attn: bool = False   # Pallas fused LN+qkv+dwconv front
+    fused_block: bool = False  # whole-block 2-pass canvas kernel (fastest)
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -175,11 +200,29 @@ class Restormer(nn.Module):
                 use_bias=self.use_bias, ln_type=self.ln_type,
                 fold_dwconv=self.fold_dwconv and dim <= 96,
                 fused_gdfn=self.fused_gdfn, fused_attn=self.fused_attn,
-                dtype=self.dtype,
+                fused_block=self.fused_block, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"{prefix}_{i}",
             )
             for i in range(n)
         ]
+
+    def _run_level(self, x, blocks):
+        """Apply a block stack; with fused_block the level runs on a single
+        persistent canvas (pad once, unpad once — zero per-block copies)."""
+        if not self.fused_block:
+            for blk in blocks:
+                x = blk(x)
+            return x
+        from image_restoration_tpu.kernels.block_pallas import (
+            canvas_pad,
+            canvas_unpad,
+        )
+
+        w, c = x.shape[2], x.shape[-1]
+        xc = canvas_pad(x)
+        for blk in blocks:
+            xc = blk(xc, w_real=w)
+        return canvas_unpad(xc, w, c)
 
     @nn.compact
     def __call__(self, inp_img):
@@ -188,43 +231,39 @@ class Restormer(nn.Module):
         x = inp_img.astype(self.dtype) if self.dtype is not None else inp_img
 
         feats = Conv(d, 3, padding=1, use_bias=False, name="patch_embed", **kw)(x)
-        enc1 = feats
-        for blk in self._blocks(d, self.heads[0], self.num_blocks[0], "encoder_level1"):
-            enc1 = blk(enc1)
+        enc1 = self._run_level(
+            feats, self._blocks(d, self.heads[0], self.num_blocks[0], "encoder_level1"))
 
         x2 = Downsample(d, name="down1_2", **kw)(enc1)
-        enc2 = x2
-        for blk in self._blocks(d * 2, self.heads[1], self.num_blocks[1], "encoder_level2"):
-            enc2 = blk(enc2)
+        enc2 = self._run_level(
+            x2, self._blocks(d * 2, self.heads[1], self.num_blocks[1], "encoder_level2"))
 
         x3 = Downsample(d * 2, name="down2_3", **kw)(enc2)
-        enc3 = x3
-        for blk in self._blocks(d * 4, self.heads[2], self.num_blocks[2], "encoder_level3"):
-            enc3 = blk(enc3)
+        enc3 = self._run_level(
+            x3, self._blocks(d * 4, self.heads[2], self.num_blocks[2], "encoder_level3"))
 
         x4 = Downsample(d * 4, name="down3_4", **kw)(enc3)
-        latent = x4
-        for blk in self._blocks(d * 8, self.heads[3], self.num_blocks[3], "latent"):
-            latent = blk(latent)
+        latent = self._run_level(
+            x4, self._blocks(d * 8, self.heads[3], self.num_blocks[3], "latent"))
 
         dec3 = Upsample(d * 8, name="up4_3", **kw)(latent)
         dec3 = jnp.concatenate([dec3, enc3], axis=-1)
         dec3 = Conv(d * 4, 1, use_bias=self.use_bias, name="reduce_chan_level3", **kw)(dec3)
-        for blk in self._blocks(d * 4, self.heads[2], self.num_blocks[2], "decoder_level3"):
-            dec3 = blk(dec3)
+        dec3 = self._run_level(
+            dec3, self._blocks(d * 4, self.heads[2], self.num_blocks[2], "decoder_level3"))
 
         dec2 = Upsample(d * 4, name="up3_2", **kw)(dec3)
         dec2 = jnp.concatenate([dec2, enc2], axis=-1)
         dec2 = Conv(d * 2, 1, use_bias=self.use_bias, name="reduce_chan_level2", **kw)(dec2)
-        for blk in self._blocks(d * 2, self.heads[1], self.num_blocks[1], "decoder_level2"):
-            dec2 = blk(dec2)
+        dec2 = self._run_level(
+            dec2, self._blocks(d * 2, self.heads[1], self.num_blocks[1], "decoder_level2"))
 
         dec1 = Upsample(d * 2, name="up2_1", **kw)(dec2)
         dec1 = jnp.concatenate([dec1, enc1], axis=-1)  # stays at 2*dim: no reduce
-        for blk in self._blocks(d * 2, self.heads[0], self.num_blocks[0], "decoder_level1"):
-            dec1 = blk(dec1)
-        for blk in self._blocks(d * 2, self.heads[0], self.num_refinement_blocks, "refinement"):
-            dec1 = blk(dec1)
+        dec1 = self._run_level(
+            dec1,
+            self._blocks(d * 2, self.heads[0], self.num_blocks[0], "decoder_level1")
+            + self._blocks(d * 2, self.heads[0], self.num_refinement_blocks, "refinement"))
 
         if self.dual_pixel_task:
             dec1 = dec1 + Conv(d * 2, 1, use_bias=self.use_bias, name="skip_conv", **kw)(feats)

@@ -115,3 +115,32 @@ def test_restormer_fused_attn_parity(rng):
     np.testing.assert_allclose(
         np.asarray(m0.apply({"params": p}, x)),
         np.asarray(m1.apply({"params": p}, x)), rtol=5e-5, atol=5e-5)
+
+
+def test_restormer_fused_block_parity(rng):
+    """fused_block canvas path: same params tree, same outputs + grads as the
+    plain composition (CPU reference fallback exercises plumbing + math;
+    TPU kernel numerics are checked by tools/check_fused_block.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = dict(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+               heads=(1, 2, 4, 8))
+    from image_restoration_tpu.models.restormer import Restormer
+
+    m0 = Restormer(**cfg)
+    m1 = Restormer(**cfg, fused_block=True)
+    # non-square, non-multiple-of-16 width exercises the canvas padding
+    x = jnp.asarray(rng.random((2, 32, 48, 3)).astype(np.float32))
+    p = m0.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree.structure(p) == jax.tree.structure(
+        m1.init(jax.random.PRNGKey(0), x)["params"])
+    np.testing.assert_allclose(
+        np.asarray(m0.apply({"params": p}, x)),
+        np.asarray(m1.apply({"params": p}, x)), rtol=5e-5, atol=5e-5)
+    g0 = jax.grad(lambda pp: jnp.sum(m0.apply({"params": pp}, x) ** 2))(p)
+    g1 = jax.grad(lambda pp: jnp.sum(m1.apply({"params": pp}, x) ** 2))(p)
+    f0 = np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(g0)])
+    f1 = np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(g1)])
+    rel = np.abs(f0 - f1).max() / (np.abs(f0).max() + 1e-12)
+    assert rel < 1e-5, rel
