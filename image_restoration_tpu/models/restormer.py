@@ -171,6 +171,56 @@ class TransformerBlock(nn.Module):
         return x
 
 
+class _ScanCell(nn.Module):
+    """Scan body: one TransformerBlock as a (carry, None) -> (carry, None)
+    cell so a level's identical blocks compile ONCE under `nn.scan` (stacked
+    params on axis 0) instead of being inlined per block by XLA."""
+
+    dim: int
+    num_heads: int
+    expansion: float
+    use_bias: bool
+    ln_type: str
+    fold_dwconv: bool
+    fused_gdfn: bool
+    fused_attn: bool
+    fused_block: bool
+    w_real: int | None
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, x, _):
+        blk = TransformerBlock(
+            dim=self.dim, num_heads=self.num_heads, expansion=self.expansion,
+            use_bias=self.use_bias, ln_type=self.ln_type,
+            fold_dwconv=self.fold_dwconv, fused_gdfn=self.fused_gdfn,
+            fused_attn=self.fused_attn, fused_block=self.fused_block,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="block")
+        return blk(x, w_real=self.w_real), None
+
+
+def to_scan_params(params, num_blocks=(4, 6, 6, 8), num_refinement_blocks=4):
+    """Convert a loop-layout Restormer param tree (`encoder_level1_0`, ...)
+    to the scan layout (`encoder_level1_scan.block` with leaves stacked on
+    axis 0). Use after torch checkpoint import to run `scan_blocks=True`."""
+    import jax
+
+    out = dict(params)
+    groups = [
+        ("encoder_level1", num_blocks[0]), ("encoder_level2", num_blocks[1]),
+        ("encoder_level3", num_blocks[2]), ("latent", num_blocks[3]),
+        ("decoder_level3", num_blocks[2]), ("decoder_level2", num_blocks[1]),
+        ("decoder_level1", num_blocks[0]),
+        ("refinement", num_refinement_blocks),
+    ]
+    for prefix, n in groups:
+        stack = [out.pop(f"{prefix}_{i}") for i in range(n)]
+        out[f"{prefix}_scan"] = {
+            "block": jax.tree.map(lambda *ls: jnp.stack(ls, 0), *stack)}
+    return out
+
+
 from image_restoration_tpu.models.registry import register_model
 
 
@@ -190,39 +240,54 @@ class Restormer(nn.Module):
     fused_gdfn: bool = False   # Pallas fused LN+GDFN (TPU serving fast path)
     fused_attn: bool = False   # Pallas fused LN+qkv+dwconv front
     fused_block: bool = False  # whole-block 2-pass canvas kernel (fastest)
+    scan_blocks: bool = False  # nn.scan over each level's blocks (fast compile)
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
-    def _blocks(self, dim, heads, n, prefix):
-        return [
-            TransformerBlock(
-                dim=dim, num_heads=heads, expansion=self.ffn_expansion_factor,
-                use_bias=self.use_bias, ln_type=self.ln_type,
-                fold_dwconv=self.fold_dwconv and dim <= 96,
-                fused_gdfn=self.fused_gdfn, fused_attn=self.fused_attn,
-                fused_block=self.fused_block, dtype=self.dtype,
-                param_dtype=self.param_dtype, name=f"{prefix}_{i}",
+    def _block_kwargs(self, dim, heads):
+        return dict(
+            dim=dim, num_heads=heads, expansion=self.ffn_expansion_factor,
+            use_bias=self.use_bias, ln_type=self.ln_type,
+            fold_dwconv=self.fold_dwconv and dim <= 96,
+            fused_gdfn=self.fused_gdfn, fused_attn=self.fused_attn,
+            fused_block=self.fused_block, dtype=self.dtype,
+            param_dtype=self.param_dtype)
+
+    def _run_level(self, x, *specs):
+        """Apply block stacks at one resolution. specs = (dim, heads, n,
+        prefix) groups applied in order. With fused_block the level runs on a
+        single persistent canvas (pad once, unpad once — zero per-block
+        copies). With scan_blocks each group is one `nn.scan` over stacked
+        per-block params (compile the block body ONCE per level instead of
+        once per block — cuts whole-model XLA compile ~8x; see
+        to_scan_params for the loop->scan checkpoint layout converter)."""
+        w = x.shape[2]
+        if self.fused_block:
+            from image_restoration_tpu.kernels.block_pallas import (
+                canvas_pad,
+                canvas_unpad,
             )
-            for i in range(n)
-        ]
 
-    def _run_level(self, x, blocks):
-        """Apply a block stack; with fused_block the level runs on a single
-        persistent canvas (pad once, unpad once — zero per-block copies)."""
-        if not self.fused_block:
-            for blk in blocks:
-                x = blk(x)
-            return x
-        from image_restoration_tpu.kernels.block_pallas import (
-            canvas_pad,
-            canvas_unpad,
-        )
-
-        w, c = x.shape[2], x.shape[-1]
-        xc = canvas_pad(x)
-        for blk in blocks:
-            xc = blk(xc, w_real=w)
-        return canvas_unpad(xc, w, c)
+            c = x.shape[-1]
+            x = canvas_pad(x)
+        for dim, heads, n, prefix in specs:
+            if self.scan_blocks:
+                cell = nn.scan(
+                    _ScanCell,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    length=n,
+                )(w_real=w if self.fused_block else None,
+                  name=f"{prefix}_scan", **self._block_kwargs(dim, heads))
+                x, _ = cell(x, None)
+            else:
+                for i in range(n):
+                    blk = TransformerBlock(name=f"{prefix}_{i}",
+                                           **self._block_kwargs(dim, heads))
+                    x = blk(x, w_real=w) if self.fused_block else blk(x)
+        if self.fused_block:
+            x = canvas_unpad(x, w, c)
+        return x
 
     @nn.compact
     def __call__(self, inp_img):
@@ -232,38 +297,38 @@ class Restormer(nn.Module):
 
         feats = Conv(d, 3, padding=1, use_bias=False, name="patch_embed", **kw)(x)
         enc1 = self._run_level(
-            feats, self._blocks(d, self.heads[0], self.num_blocks[0], "encoder_level1"))
+            feats, (d, self.heads[0], self.num_blocks[0], "encoder_level1"))
 
         x2 = Downsample(d, name="down1_2", **kw)(enc1)
         enc2 = self._run_level(
-            x2, self._blocks(d * 2, self.heads[1], self.num_blocks[1], "encoder_level2"))
+            x2, (d * 2, self.heads[1], self.num_blocks[1], "encoder_level2"))
 
         x3 = Downsample(d * 2, name="down2_3", **kw)(enc2)
         enc3 = self._run_level(
-            x3, self._blocks(d * 4, self.heads[2], self.num_blocks[2], "encoder_level3"))
+            x3, (d * 4, self.heads[2], self.num_blocks[2], "encoder_level3"))
 
         x4 = Downsample(d * 4, name="down3_4", **kw)(enc3)
         latent = self._run_level(
-            x4, self._blocks(d * 8, self.heads[3], self.num_blocks[3], "latent"))
+            x4, (d * 8, self.heads[3], self.num_blocks[3], "latent"))
 
         dec3 = Upsample(d * 8, name="up4_3", **kw)(latent)
         dec3 = jnp.concatenate([dec3, enc3], axis=-1)
         dec3 = Conv(d * 4, 1, use_bias=self.use_bias, name="reduce_chan_level3", **kw)(dec3)
         dec3 = self._run_level(
-            dec3, self._blocks(d * 4, self.heads[2], self.num_blocks[2], "decoder_level3"))
+            dec3, (d * 4, self.heads[2], self.num_blocks[2], "decoder_level3"))
 
         dec2 = Upsample(d * 4, name="up3_2", **kw)(dec3)
         dec2 = jnp.concatenate([dec2, enc2], axis=-1)
         dec2 = Conv(d * 2, 1, use_bias=self.use_bias, name="reduce_chan_level2", **kw)(dec2)
         dec2 = self._run_level(
-            dec2, self._blocks(d * 2, self.heads[1], self.num_blocks[1], "decoder_level2"))
+            dec2, (d * 2, self.heads[1], self.num_blocks[1], "decoder_level2"))
 
         dec1 = Upsample(d * 2, name="up2_1", **kw)(dec2)
         dec1 = jnp.concatenate([dec1, enc1], axis=-1)  # stays at 2*dim: no reduce
         dec1 = self._run_level(
             dec1,
-            self._blocks(d * 2, self.heads[0], self.num_blocks[0], "decoder_level1")
-            + self._blocks(d * 2, self.heads[0], self.num_refinement_blocks, "refinement"))
+            (d * 2, self.heads[0], self.num_blocks[0], "decoder_level1"),
+            (d * 2, self.heads[0], self.num_refinement_blocks, "refinement"))
 
         if self.dual_pixel_task:
             dec1 = dec1 + Conv(d * 2, 1, use_bias=self.use_bias, name="skip_conv", **kw)(feats)

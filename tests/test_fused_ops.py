@@ -144,3 +144,29 @@ def test_restormer_fused_block_parity(rng):
     f1 = np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(g1)])
     rel = np.abs(f0 - f1).max() / (np.abs(f0).max() + 1e-12)
     assert rel < 1e-5, rel
+
+
+def test_restormer_scan_blocks_parity(rng):
+    """scan_blocks (nn.scan over each level's blocks, stacked params) must
+    match the loop layout exactly; to_scan_params converts loop->scan trees
+    (the path used after torch checkpoint import)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.models.restormer import (
+        Restormer,
+        to_scan_params,
+    )
+
+    cfg = dict(dim=8, num_blocks=(2, 1, 1, 1), num_refinement_blocks=2,
+               heads=(1, 2, 4, 8))
+    m0 = Restormer(**cfg)
+    m1 = Restormer(**cfg, scan_blocks=True)
+    x = jnp.asarray(rng.random((1, 32, 48, 3)).astype(np.float32))
+    p0 = m0.init(jax.random.PRNGKey(0), x)["params"]
+    p1 = m1.init(jax.random.PRNGKey(0), x)["params"]
+    pc = to_scan_params(p0, cfg["num_blocks"], cfg["num_refinement_blocks"])
+    assert jax.tree.structure(pc) == jax.tree.structure(p1)
+    np.testing.assert_allclose(
+        np.asarray(m0.apply({"params": p0}, x)),
+        np.asarray(m1.apply({"params": pc}, x)), rtol=1e-5, atol=1e-5)
