@@ -34,12 +34,17 @@ def main():
 
     from image_restoration_tpu.models.restormer import Restormer
 
-    size, batch, chain = 512, 1, 16
+    size, batch, chain = 512, 1, 48
     # fused_gdfn: Pallas LN+GDFN tail (kernels/gdfn_pallas.py)
     # fused_attn: Pallas LN+qkv+dwconv front (kernels/mdta_pallas.py)
-    model = Restormer(dtype=jnp.bfloat16, fused_gdfn=True, fused_attn=True)
+    # scan_blocks: nn.scan per level — ~4x faster compile AND ~5% faster run
+    model = Restormer(dtype=jnp.bfloat16, fused_gdfn=True, fused_attn=True,
+                      scan_blocks=True)
     x = jnp.full((batch, size, size, 3), 0.5, jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x)
+    # Shapes-only init: weight VALUES don't affect timing, and eval_shape
+    # skips the ~3 min on-device init compile.
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     @jax.jit
     def fwd_chain(v, inp):

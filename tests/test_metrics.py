@@ -226,3 +226,38 @@ def test_progressive_schedule():
               [1.0, 1.0, 1.0,   1.0, 1.0, 1.0,   1.0, 1.0, 1.0]]
     # windows mean 1.0 thrice: first sets best, then 2 bad -> drop at 3rd
     assert scales[2] == 1.0 and scales[-1] == 0.5
+
+
+def test_fid():
+    """FID math (basicsr fid.py:57-102 port): zero for identical stats;
+    matches the closed form for 1-D Gaussians; symmetric and positive on
+    random feature clouds."""
+    import numpy as np
+
+    from image_restoration_tpu.eval.fid import (
+        calculate_fid,
+        compute_feature_stats,
+        extract_features,
+        fid_from_features,
+    )
+
+    rng = np.random.default_rng(0)
+    f1 = rng.normal(size=(500, 16))
+    mu, sigma = compute_feature_stats(f1)
+    assert abs(calculate_fid(mu, sigma, mu, sigma)) < 1e-8
+
+    # 1-D closed form: (mu1-mu2)^2 + s1 + s2 - 2*sqrt(s1*s2)
+    got = calculate_fid([1.0], [[4.0]], [3.0], [[9.0]])
+    want = (1 - 3) ** 2 + 4 + 9 - 2 * (4 * 9) ** 0.5
+    assert abs(got - want) < 1e-10, (got, want)
+
+    f2 = rng.normal(loc=0.5, size=(500, 16))
+    d12 = fid_from_features(f1, f2)
+    d21 = fid_from_features(f2, f1)
+    assert d12 > 0.1 and abs(d12 - d21) < 1e-6
+
+    # streamed extraction path
+    batches = [rng.normal(size=(8, 4, 4, 3)).astype(np.float32)
+               for _ in range(3)]
+    feats = extract_features(iter(batches), lambda b: b.mean(axis=(1, 2)))
+    assert feats.shape == (24, 3)
