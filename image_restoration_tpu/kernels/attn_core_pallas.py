@@ -116,7 +116,7 @@ def _forward(qkv_padded, x, temperature, w_proj, b_proj, num_heads: int):
 
     th = 1
     for t in sorted({d for d in range(1, h + 1) if h % d == 0}):
-        if vmem_a(t) <= 9 * 1024 * 1024 and vmem_b(t) <= 9 * 1024 * 1024 \
+        if vmem_a(t) <= 36 * 1024 * 1024 and vmem_b(t) <= 36 * 1024 * 1024 \
                 and t <= 64:
             th = t
     n_hi = h // th
@@ -142,6 +142,8 @@ def _forward(qkv_padded, x, temperature, w_proj, b_proj, num_heads: int):
             jax.ShapeDtypeStruct((b, 1, cps), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, cps), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(qkv_padded)
 
     # ---- finalize: norm rescale + temperature + per-head softmax ----
@@ -177,6 +179,8 @@ def _forward(qkv_padded, x, temperature, w_proj, b_proj, num_heads: int):
         out_specs=pl.BlockSpec((1, th, w, c), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(qkv_padded, x, at, wp, bp)
     return out
 

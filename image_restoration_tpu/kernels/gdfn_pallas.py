@@ -60,7 +60,7 @@ def _gdfn_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, wc_ref,
     th2 = th + 2
 
     xs = jnp.concatenate(
-        [xprev_ref[0, th - 1 : th], xcur_ref[0], xnext_ref[0, 0:1]], axis=0)
+        [xprev_ref[0], xcur_ref[0], xnext_ref[0]], axis=0)
     xf = xs.astype(jnp.float32)  # (TH+2, Wp2, Cp)
     s1 = jnp.sum(xf, axis=-1, keepdims=True)
     s2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
@@ -173,7 +173,7 @@ def _fused_forward(x, params, ln_type: str, eps: float):
     wp2_est = _round_up(w + 2, 16)
 
     def vmem_bytes(t):
-        xs = 3 * t * wp2_est * cp * 2      # prev/cur/next pipelined blocks
+        xs = (t + 2) * wp2_est * cp * 2    # cur tile + two 1-row halo blocks
         y32 = (t + 2) * wp2_est * cp * 4
         cg = 2 * (t + 2) * wp2_est * hp * 4  # fp32 expanded maps
         acc = 2 * t * w * hp * 4
@@ -182,7 +182,7 @@ def _fused_forward(x, params, ln_type: str, eps: float):
 
     th = 1
     for t in sorted({d for d in range(1, h + 1) if h % d == 0}):
-        if vmem_bytes(t) <= 9 * 1024 * 1024 and t <= 64:
+        if vmem_bytes(t) <= 36 * 1024 * 1024 and t <= 64:
             th = t
 
     f32 = jnp.float32
@@ -218,18 +218,25 @@ def _fused_forward(x, params, ln_type: str, eps: float):
     kern = functools.partial(
         _gdfn_kernel, th=th, width=w, wp2=wp2, c_real=c,
         ln_bias=(ln_type != "BiasFree"), eps=eps, h_total=h)
-    xblk = lambda off: pl.BlockSpec(
-        (1, th, wp2, cp),
-        lambda bi, hi, off=off: (bi, jnp.clip(hi + off, 0, n_hi - 1), 0, 0),
+    # cur tile is a (th)-row block; the 1-row halos are fetched as
+    # separate height-1 blocks (index in block units == row index), cutting
+    # HBM reads from 3 tiles/step to 1 tile + 2 rows.
+    cur = pl.BlockSpec((1, th, wp2, cp), lambda bi, hi: (bi, hi, 0, 0),
+                       memory_space=pltpu.VMEM)
+    row = lambda off: pl.BlockSpec(
+        (1, 1, wp2, cp),
+        lambda bi, hi, off=off: (bi, jnp.clip(hi * th + off, 0, h - 1), 0, 0),
         memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         grid=(b, n_hi),
-        in_specs=[xblk(-1), xblk(0), xblk(1)] + [vspec] * 12,
+        in_specs=[row(-1), cur, row(th)] + [vspec] * 12,
         out_specs=pl.BlockSpec((1, th, w, cp), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cp), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xp, xp, xp, lnw_p, lnb_p, wc, wg, bc, bg, dwc, dwg, dbc, dbg, wo, bo)
     return out[..., :c]
 

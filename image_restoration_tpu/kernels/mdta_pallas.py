@@ -33,7 +33,7 @@ def _kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref, b_ref,
     th2 = th + 2
 
     xs = jnp.concatenate(
-        [xprev_ref[0, th - 1 : th], xcur_ref[0], xnext_ref[0, 0:1]], axis=0)
+        [xprev_ref[0], xcur_ref[0], xnext_ref[0]], axis=0)
     xf = xs.astype(jnp.float32)
     s1 = jnp.sum(xf, axis=-1, keepdims=True)
     s2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
@@ -85,7 +85,7 @@ def _forward(x, params, ln_type: str, eps: float, split_pad: bool = False):
     wp2 = _round_up(w + 2, 16)
 
     def vmem_bytes(t):
-        xs = 3 * t * wp2 * cp * 2
+        xs = (t + 2) * wp2 * cp * 2   # cur tile + two 1-row halo blocks
         y32 = (t + 2) * wp2 * cp * 4
         proj = (t + 2) * wp2 * op * 4
         acc = t * w * op * 4
@@ -93,7 +93,7 @@ def _forward(x, params, ln_type: str, eps: float, split_pad: bool = False):
 
     th = 1
     for t in sorted({d for d in range(1, h + 1) if h % d == 0}):
-        if vmem_bytes(t) <= 9 * 1024 * 1024 and t <= 64:
+        if vmem_bytes(t) <= 36 * 1024 * 1024 and t <= 64:
             th = t
 
     f32 = jnp.float32
@@ -125,18 +125,22 @@ def _forward(x, params, ln_type: str, eps: float, split_pad: bool = False):
     kern = functools.partial(_kernel, th=th, width=w, wp2=wp2, c_real=c,
                              ln_bias=(ln_type != "BiasFree"), eps=eps,
                              h_total=h)
-    xblk = lambda off: pl.BlockSpec(
-        (1, th, wp2, cp),
-        lambda bi, hi, off=off: (bi, jnp.clip(hi + off, 0, n_hi - 1), 0, 0),
+    cur = pl.BlockSpec((1, th, wp2, cp), lambda bi, hi: (bi, hi, 0, 0),
+                       memory_space=pltpu.VMEM)
+    rowb = lambda off: pl.BlockSpec(
+        (1, 1, wp2, cp),
+        lambda bi, hi, off=off: (bi, jnp.clip(hi * th + off, 0, h - 1), 0, 0),
         memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         grid=(b, n_hi),
-        in_specs=[xblk(-1), xblk(0), xblk(1)] + [vspec] * 6,
+        in_specs=[rowb(-1), cur, rowb(th)] + [vspec] * 6,
         out_specs=pl.BlockSpec((1, th, w, op), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, op), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xp, xp, xp, lnw_p, lnb_p, wq, bq, dw, db)
     return out if split_pad else out[..., :oc]
 
