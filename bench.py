@@ -35,11 +35,10 @@ def main():
     from image_restoration_tpu.models.restormer import Restormer
 
     size, batch, chain = 512, 1, 48
-    # fused_gdfn: Pallas LN+GDFN tail (kernels/gdfn_pallas.py)
-    # fused_attn: Pallas LN+qkv+dwconv front (kernels/mdta_pallas.py)
+    # fused_block: whole-block 2-pass canvas kernel (kernels/block_pallas.py)
+    #   — q/k never touch HBM; one persistent canvas per level
     # scan_blocks: nn.scan per level — ~4x faster compile AND ~5% faster run
-    model = Restormer(dtype=jnp.bfloat16, fused_gdfn=True, fused_attn=True,
-                      scan_blocks=True)
+    model = Restormer(dtype=jnp.bfloat16, fused_block=True, scan_blocks=True)
     x = jnp.full((batch, size, size, 3), 0.5, jnp.float32)
     # Shapes-only init: weight VALUES don't affect timing, and eval_shape
     # skips the ~3 min on-device init compile.

@@ -54,7 +54,7 @@ from image_restoration_tpu.kernels.gdfn_pallas import (
 from image_restoration_tpu.kernels.mdta_pallas import _reference as _ref_front
 from image_restoration_tpu.kernels.attn_core_pallas import _reference_core
 
-VMEM_BUDGET = 9 * 1024 * 1024
+VMEM_BUDGET = 36 * 1024 * 1024
 
 
 # ---------------------------------------------------------------- canvas ---
@@ -84,7 +84,7 @@ def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
     th2 = th + 2
 
     xs = jnp.concatenate(
-        [xprev_ref[0, th - 1 : th], xcur_ref[0], xnext_ref[0, 0:1]], axis=0)
+        [xprev_ref[0], xcur_ref[0], xnext_ref[0]], axis=0)
     xf = xs.astype(jnp.float32)
     s1 = jnp.sum(xf, axis=-1, keepdims=True)
     s2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
@@ -157,9 +157,9 @@ def _apply_gdfn_kernel(vprev_ref, vcur_ref, vnext_ref, xprev_ref, xcur_ref,
     prec = jax.lax.Precision.DEFAULT
 
     vs = jnp.concatenate(
-        [vprev_ref[0, th - 1 : th], vcur_ref[0], vnext_ref[0, 0:1]], axis=0)
+        [vprev_ref[0], vcur_ref[0], vnext_ref[0]], axis=0)
     xs = jnp.concatenate(
-        [xprev_ref[0, th - 1 : th], xcur_ref[0], xnext_ref[0, 0:1]], axis=0)
+        [xprev_ref[0], xcur_ref[0], xnext_ref[0]], axis=0)
 
     # attn_out = x + (v @ A^T) @ W_proj + b, for th+2 rows (GDFN halo rows
     # recomputed locally — cheaper than an extra HBM round trip)
@@ -317,15 +317,19 @@ def _forward(xc, params, cfg):
 
     # ---- pass 1 ----
     def vmem1(t):
-        return (3 * t * wp * cp * 2 + (t + 2) * wp * cp * 4
+        return ((t + 2) * wp * cp * 2 + (t + 2) * wp * cp * 4
                 + (t + 2) * wp * op * 4 + t * w * op * 4
                 + t * wp * cps * 2 + cps * cps * 4)
 
     th1 = _pick_th(vmem1, h)
     n1 = h // th1
-    xblk = lambda off, tt, nn, lanes: pl.BlockSpec(
-        (1, tt, wp, lanes),
-        lambda bi, hi, off=off, nn=nn: (bi, jnp.clip(hi + off, 0, nn - 1), 0, 0),
+    cur = lambda tt, lanes: pl.BlockSpec(
+        (1, tt, wp, lanes), lambda bi, hi: (bi, hi, 0, 0),
+        memory_space=pltpu.VMEM)
+    rowb = lambda off, tt, lanes: pl.BlockSpec(
+        (1, 1, wp, lanes),
+        lambda bi, hi, off=off, tt=tt: (bi, jnp.clip(hi * tt + off, 0, h - 1),
+                                        0, 0),
         memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kern1 = functools.partial(
@@ -334,8 +338,8 @@ def _forward(xc, params, cfg):
     vmap, prod, qss, kss = pl.pallas_call(
         kern1,
         grid=(b, n1),
-        in_specs=[xblk(-1, th1, n1, cp), xblk(0, th1, n1, cp),
-                  xblk(1, th1, n1, cp)] + [vspec] * 6,
+        in_specs=[rowb(-1, th1, cp), cur(th1, cp),
+                  rowb(th1, th1, cp)] + [vspec] * 6,
         out_specs=[
             pl.BlockSpec((1, th1, wp, cps), lambda bi, hi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -352,6 +356,8 @@ def _forward(xc, params, cfg):
             jax.ShapeDtypeStruct((b, 1, cps), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, cps), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xc, xc, xc, pk["ln1w"], pk["ln1b"], pk["wq"], pk["bq"], pk["dw"],
       pk["db"])
 
@@ -370,7 +376,7 @@ def _forward(xc, params, cfg):
 
     # ---- pass 2 ----
     def vmem2(t):
-        return (3 * t * wp * (cps + cp) * 2
+        return ((t + 2) * wp * (cps + cp) * 2
                 + 2 * (t + 2) * wp * cp * 4          # t + ao
                 + 2 * (t + 2) * wp * hp * 4          # cont + gate
                 + 2 * t * w * hp * 4                 # acc_c + acc_g
@@ -384,15 +390,15 @@ def _forward(xc, params, cfg):
     out = pl.pallas_call(
         kern2,
         grid=(b, n2),
-        in_specs=[xblk(-1, th2, n2, cps), xblk(0, th2, n2, cps),
-                  xblk(1, th2, n2, cps),
-                  xblk(-1, th2, n2, cp), xblk(0, th2, n2, cp),
-                  xblk(1, th2, n2, cp),
+        in_specs=[rowb(-1, th2, cps), cur(th2, cps), rowb(th2, th2, cps),
+                  rowb(-1, th2, cp), cur(th2, cp), rowb(th2, th2, cp),
                   pl.BlockSpec((1, cps, cps), lambda bi, hi: (bi, 0, 0),
                                memory_space=pltpu.VMEM)] + [vspec] * 14,
         out_specs=pl.BlockSpec((1, th2, wp, cp), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, wp, cp), xc.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(vmap, vmap, vmap, xc, xc, xc, at, pk["wp"], pk["bp"], pk["ln2w"],
       pk["ln2b"], pk["wc"], pk["wg"], pk["bc"], pk["bg"], pk["dwc"],
       pk["dwg"], pk["dbc"], pk["dbg"], pk["wo"], pk["bo"])
