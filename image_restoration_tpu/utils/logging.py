@@ -171,3 +171,41 @@ def model_summary(params, max_depth: int = 2) -> str:
         lines.append(f"{k:<{width}}  {rows[k]:>12,}  {rows[k]*4/1e6:>9.2f}")
     lines.append(f"{'TOTAL':<{width}}  {total:>12,}  {total*4/1e6:>9.2f}")
     return "\n".join(lines)
+
+
+class CloudLog:
+    """Fire-and-forget HTTP log sender (SRConvNet custom/serverLog.py:10-36
+    LogClass analog, gated by the train CLI's --cloudlog flag).
+
+    Posts `name`/`content` as URL-quoted query params to `url` on a daemon
+    thread; network failures are swallowed (the reference prints and
+    continues). Off (or an empty url) makes sendLog a no-op — the default in
+    this zero-egress environment.
+    """
+
+    def __init__(self, on: bool = False, url: str = "", timeout: float = 5.0):
+        self.on = on and bool(url)
+        self.url = url
+        self.timeout = timeout
+        self._lock = __import__("threading").Lock()
+
+    def _send(self, content: str, name: str) -> None:
+        from urllib.parse import quote
+        from urllib.request import urlopen
+
+        with self._lock:
+            try:
+                sep = "&" if "?" in self.url else "?"
+                full = (f"{self.url}{sep}name={quote(name, 'utf-8')}"
+                        f"&content={quote(content, 'utf-8')}")
+                urlopen(full, timeout=self.timeout).read()
+            except Exception:
+                print("\nsendLog network error!")
+
+    def sendLog(self, content: str, name: str) -> None:
+        if not self.on:
+            return
+        import threading
+
+        threading.Thread(target=self._send, args=(content, name),
+                         daemon=True).start()

@@ -118,3 +118,50 @@ def test_aio_denoise_on_device(data_root):
     diff = np.abs(np.asarray(out["lq"]) - batch["gt"])
     assert 0.01 < diff.mean() < 0.1  # sigma 25/255 noise got applied
     np.testing.assert_array_equal(np.asarray(out["gt"]), batch["gt"])
+
+
+def test_cloud_log():
+    """CloudLog (serverLog.py analog): off/empty-url => no-op; on with a
+    local listener => delivers URL-quoted name/content; network error is
+    swallowed."""
+    import http.server
+    import threading
+    import time
+    from urllib.parse import parse_qs, urlparse
+
+    from image_restoration_tpu.utils.logging import CloudLog
+
+    CloudLog(on=False, url="http://127.0.0.1:1/x").sendLog("a", "b")  # no-op
+    CloudLog(on=True, url="").sendLog("a", "b")                       # no-op
+
+    got = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            got.update(parse_qs(urlparse(self.path).query))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        log = CloudLog(on=True, url=f"http://127.0.0.1:{srv.server_port}/log")
+        log.sendLog("loss=0.5 epoch 3", "exp/a b")
+        for _ in range(100):
+            if got:
+                break
+            time.sleep(0.05)
+        assert got.get("name") == ["exp/a b"]
+        assert got.get("content") == ["loss=0.5 epoch 3"]
+    finally:
+        srv.shutdown()
+
+    # unreachable endpoint: must not raise
+    bad = CloudLog(on=True, url="http://127.0.0.1:1/x", timeout=0.2)
+    bad.sendLog("x", "y")
+    time.sleep(0.3)

@@ -38,8 +38,11 @@ def run(tag, **flags):
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "block"):
-        run("fused_block", fused_block=True)
+        run("fused_block+scan", fused_block=True, scan_blocks=True)
     if which in ("all", "old"):
-        run("fused_attn+gdfn", fused_attn=True, fused_gdfn=True)
+        run("fused_attn+gdfn+scan", fused_attn=True, fused_gdfn=True,
+            scan_blocks=True)
     if which in ("all", "plain"):
-        run("plain XLA", )
+        run("plain XLA + scan", scan_blocks=True)
+    if which == "unrolled":
+        run("fused_block unrolled", fused_block=True)
