@@ -75,11 +75,11 @@ def canvas_unpad(xc, w: int, c: int):
 
 def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
                   b_ref, dw_ref, db_ref, v_ref, qkprod_ref, qss_ref, kss_ref,
-                  *, th: int, width: int, c_real: int, cps: int,
+                  *, th: int, width: int, c_real: int, cps: int, cs: int,
                   ln_bias: bool, eps: float, h_total: int):
     wp = xcur_ref.shape[2]
     cp = xcur_ref.shape[-1]
-    op = w_ref.shape[-1]  # 3*cps
+    op = w_ref.shape[-1]  # 3*cs rounded up to the lane granule
     hi = pl.program_id(1)
     th2 = th + 2
 
@@ -113,17 +113,24 @@ def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
             acc = acc + proj[kh : kh + th, kw : kw + width, :] * dw_ref[kh * 3 + kw]
     acc = acc + db_ref[:]
 
+    def slot(i):
+        """i-th qkv slot, lane-padded to the cps canvas width."""
+        sl = acc[:, :, i * cs : i * cs + c_real]
+        if c_real < cps:
+            sl = jnp.pad(sl, ((0, 0), (0, 0), (0, cps - c_real)))
+        return sl
+
     # v slot -> canvas-layout output tile (zero borders)
     v_ref[0] = jnp.zeros((th, wp, cps), v_ref.dtype)
-    v_ref[0, :, 1 : 1 + width, :] = acc[:, :, 2 * cps :].astype(v_ref.dtype)
+    v_ref[0, :, 1 : 1 + width, :] = slot(2).astype(v_ref.dtype)
 
-    q = acc[:, :, :cps].reshape(th * width, cps).astype(jnp.bfloat16)
-    k = acc[:, :, cps : 2 * cps].reshape(th * width, cps).astype(jnp.bfloat16)
-    prod = jax.lax.dot_general(q, k, (((0,), (0,)), ((), ())),
+    qf = slot(0).reshape(th * width, cps)
+    kf = slot(1).reshape(th * width, cps)
+    prod = jax.lax.dot_general(qf.astype(jnp.bfloat16),
+                               kf.astype(jnp.bfloat16),
+                               (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.DEFAULT)
-    qf = acc[:, :, :cps].reshape(th * width, cps)
-    kf = acc[:, :, cps : 2 * cps].reshape(th * width, cps)
     qs = jnp.sum(qf * qf, axis=0, keepdims=True)
     ks = jnp.sum(kf * kf, axis=0, keepdims=True)
 
@@ -226,20 +233,21 @@ def _apply_gdfn_kernel(vprev_ref, vcur_ref, vnext_ref, xprev_ref, xcur_ref,
 
 # -------------------------------------------------------------- assembly ---
 
-def _pack_params(params, c, cp, cps, hp, hidden):
-    """Pad every weight into the lane-aligned canvas layout."""
+def _pack_params(params, c, cp, cps, hp, hidden, cs, op):
+    """Pad every weight into the lane-aligned canvas layout. qkv slots sit
+    at stride `cs` (= c when packed contiguously, cps when slot-aligned)
+    inside op lanes."""
     (ln1w, ln1b, w_qkv, b_qkv, w_dw, b_dw, temp, w_proj, b_proj,
      ln2w, ln2b, w_in, b_in, w_dw2, b_dw2, w_out, b_out) = params
     f32, bf = jnp.float32, jnp.bfloat16
     z = lambda n: jnp.zeros((n,), f32)
-    op = 3 * cps
 
     def place3(mat2d, dtype):
         rows = mat2d.shape[0]
         out = jnp.zeros((rows, op), dtype)
         for i in range(3):
             out = jax.lax.dynamic_update_slice(
-                out, mat2d[:, i * c : (i + 1) * c], (0, i * cps))
+                out, mat2d[:, i * c : (i + 1) * c], (0, i * cs))
         return out
 
     p = {}
@@ -308,12 +316,15 @@ def _forward(xc, params, cfg):
 
     b, h, wp, cp = xc.shape
     cps = _round_up(c, 128)
-    op = 3 * cps
+    # qkv slots packed at stride c when that saves lane granules (c=48:
+    # op 384->256; c=192: 768->640), else 128-aligned slots (c=96: 384=384)
+    cs = c if _round_up(3 * c, 128) < 3 * cps else cps
+    op = _round_up(3 * cs, 128) if cs == c else 3 * cps
     hidden = params[11].reshape(c, -1).shape[-1] // 2
     hp = _round_up(hidden, 128)
     ch = c // num_heads
     ln_bias = ln_type != "BiasFree"
-    pk = _pack_params(params, c, cp, cps, hp, hidden)
+    pk = _pack_params(params, c, cp, cps, hp, hidden, cs, op)
 
     # ---- pass 1 ----
     def vmem1(t):
@@ -333,8 +344,8 @@ def _forward(xc, params, cfg):
         memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kern1 = functools.partial(
-        _front_kernel, th=th1, width=w, c_real=c, cps=cps, ln_bias=ln_bias,
-        eps=eps, h_total=h)
+        _front_kernel, th=th1, width=w, c_real=c, cps=cps, cs=cs,
+        ln_bias=ln_bias, eps=eps, h_total=h)
     vmap, prod, qss, kss = pl.pallas_call(
         kern1,
         grid=(b, n1),
