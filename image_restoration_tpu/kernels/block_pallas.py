@@ -319,7 +319,7 @@ def _forward(xc, params, cfg):
     # qkv slots packed at stride c when that saves lane granules (c=48:
     # op 384->256; c=192: 768->640), else 128-aligned slots (c=96: 384=384)
     cs = c if _round_up(3 * c, 128) < 3 * cps else cps
-    op = _round_up(3 * cs, 128) if cs == c else 3 * cps
+    op = _round_up(3 * cs, 128)  # == 3*cps in the aligned case
     hidden = params[11].reshape(c, -1).shape[-1] // 2
     hp = _round_up(hidden, 128)
     ch = c // num_heads
