@@ -107,6 +107,113 @@ def edge_loss(pred, target, criterion: str = "charbonnier"):
     return charbonnier_loss(lp, lt)
 
 
+# --- HOG loss ---------------------------------------------------------------
+
+_SOBEL_X = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]],
+                       jnp.float32)
+_SOBEL_Y = _SOBEL_X.T
+
+
+def _sobel(gray, k):
+    """3x3 conv, zero padding=1 (torch F.conv2d padding=1). gray: (B,H,W,1)."""
+    dn = jax.lax.conv_dimension_numbers(gray.shape, (3, 3, 1, 1),
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        gray, k.reshape(3, 3, 1, 1), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=dn)
+
+
+def hog_features(x, nbins: int = 9, cell_size: int = 8, block_size: int = 1,
+                 signed_gradient: bool = False, eps: float = 1e-8):
+    """Differentiable HOG descriptor (HOGformer HOGLayer,
+    HOGformer-main/settingI/basicsr/models/image_restoration_model.py:25-101),
+    NHWC. Rec.601 grayscale, Sobel gradients with zero pad, soft linear
+    orientation binning (relu(1 - delta/bin_width)), cell_size average-pooled
+    histograms, optional L2 block normalization (block_size>1, torch-unfold
+    flatten order), flattened per image. x: (B,H,W,C), C in {1,3}."""
+    x = x.astype(jnp.float32)
+    if x.shape[-1] == 3:
+        gray = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])[..., None]
+    else:
+        gray = x
+    dx = _sobel(gray, _SOBEL_X)
+    dy = _sobel(gray, _SOBEL_Y)
+    magnitude = jnp.sqrt(dx * dx + dy * dy + eps)        # (B,H,W,1)
+    orientation = jnp.arctan2(dy, dx + eps)
+    period = (2 * jnp.pi) if signed_gradient else jnp.pi
+    bin_width = period / nbins
+    if not signed_gradient:
+        orientation = jnp.abs(orientation)               # map to [0, pi]
+    angles = jnp.arange(nbins, dtype=jnp.float32) * bin_width
+    delta = jnp.abs(orientation - angles.reshape(1, 1, 1, nbins))
+    delta = jnp.minimum(delta, period - delta)
+    weights = jax.nn.relu(1.0 - delta / bin_width)       # (B,H,W,nbins)
+
+    b, h, w, _ = x.shape
+    nh, nw = (h // cell_size) * cell_size, (w // cell_size) * cell_size
+    weighted = (weights * magnitude)[:, :nh, :nw]
+    hist = weighted.reshape(b, nh // cell_size, cell_size,
+                            nw // cell_size, cell_size, nbins).mean(axis=(2, 4))
+    hc, wc = hist.shape[1], hist.shape[2]
+    if block_size > 1 and hc >= block_size and wc >= block_size:
+        hp, wp = hc - block_size + 1, wc - block_size + 1
+        # torch F.unfold order: channel-major (c, kh, kw), patches row-major
+        hist_c = jnp.moveaxis(hist, -1, 1)               # (B, nbins, Hc, Wc)
+        cols = jnp.stack(
+            [hist_c[:, :, i : i + hp, j : j + wp]
+             for i in range(block_size) for j in range(block_size)],
+            axis=2)                                      # (B, C, k*k, hp, wp)
+        cols = cols.reshape(b, nbins * block_size**2, hp * wp)
+        blocks = jnp.swapaxes(cols, 1, 2)                # (B, L, C*k*k)
+        norm = jnp.linalg.norm(blocks, axis=-1, keepdims=True)
+        blocks = blocks / (norm + eps)
+        return blocks.reshape(b, -1)
+    return jnp.moveaxis(hist, -1, 1).reshape(b, -1)      # torch (B,C,Hc,Wc) flatten
+
+
+def hog_loss(pred, target, nbins: int = 9, cell_size: int = 8,
+             block_size: int = 1, signed_gradient: bool = False,
+             loss_type: str = "l2"):
+    """HOGLoss (image_restoration_model.py:103-143): descriptor distance.
+    Training default is block_size=1 + MSE (:107-109,140-143)."""
+    hp = hog_features(pred, nbins, cell_size, block_size, signed_gradient)
+    ht = hog_features(target, nbins, cell_size, block_size, signed_gradient)
+    if loss_type == "l1":
+        return jnp.mean(jnp.abs(hp - ht))
+    return jnp.mean(jnp.square(hp - ht))
+
+
+# --- Gaussian pyramid (NeRD-Rain multi-scale supervision) -------------------
+
+_PYR_K1D = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+
+
+def pyr_down(x):
+    """kornia.geometry.transform.pyrdown semantics (used by
+    NeRD-Rain-main/train.py:156 build_pyramid): 5x5 binomial blur with
+    reflect border, then bilinear halving with align_corners=False — which
+    for an exact /2 reduces to 2x2 average pooling. NHWC."""
+    c = x.shape[-1]
+    k = jnp.outer(_PYR_K1D, _PYR_K1D).reshape(5, 5, 1, 1)
+    k = jnp.tile(k, (1, 1, 1, c)).astype(jnp.float32)
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (2, 2), (2, 2), (0, 0)),
+                 mode="reflect")
+    dn = jax.lax.conv_dimension_numbers(xp.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    blur = jax.lax.conv_general_dilated(xp, k, (1, 1), "VALID",
+                                        dimension_numbers=dn,
+                                        feature_group_count=c)
+    b, h, w, _ = blur.shape
+    return blur.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+def build_pyramid(x, levels: int = 3):
+    """[x, pyrdown(x), pyrdown^2(x), ...] — kornia build_pyramid."""
+    out = [x.astype(jnp.float32)]
+    for _ in range(levels - 1):
+        out.append(pyr_down(out[-1]))
+    return out
+
+
 def gan_loss(logits, target_is_real: bool, use_lsgan: bool = True):
     t = jnp.full_like(logits, 1.0 if target_is_real else 0.0)
     if use_lsgan:
@@ -195,6 +302,7 @@ LOSSES = {
     "edge": edge_loss,
     "pearson": pearson_loss,
     "grad_smooth": gradient_smoothness_loss,
+    "hog": hog_loss,
 }
 
 

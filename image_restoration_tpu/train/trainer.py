@@ -21,7 +21,6 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from image_restoration_tpu.train.losses import weighted_loss
 
 
 class TrainState(struct.PyTreeNode):
@@ -50,6 +49,11 @@ class TrainerConfig:
     loss: Mapping[str, float] = dataclasses.field(default_factory=lambda: {"l1": 1.0})
     aux_loss_weight: float = 0.0            # MoE balance loss weight (MoCE: 0.01)
     optimizer: str = "adamw"
+    recipe: str = "default"                 # named multi-output loss recipe
+    recipe_kwargs: Mapping = dataclasses.field(default_factory=dict)
+    apply_kwargs: Mapping = dataclasses.field(default_factory=dict)
+    # extra static kwargs for model.apply at train time, e.g. DarkIR's
+    # side_loss=True (DarkIR.py:74) or MoE models' train=True
 
 
 def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
@@ -74,6 +78,18 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
     return optax.chain(*chain)
 
 
+def split_model_output(out):
+    """Normalize a model's return value to ``(out, aux_dict)``.
+
+    ``(pred, {...})`` -> as-is; a tuple/list of arrays (NeRD-Rain's pyramid,
+    model.py:603) stays whole with aux={}; a bare array gets aux={}.
+    """
+    if (isinstance(out, (tuple, list)) and len(out) == 2
+            and isinstance(out[1], dict)):
+        return out[0], out[1]
+    return out, {}
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -83,24 +99,29 @@ def make_train_step(
 ) -> Callable:
     """Build the jitted train step.
 
-    The model's apply may return either ``pred`` or ``(pred, aux)`` where
-    ``aux`` is a dict that can carry ``aux_loss`` (MoE balance) and extra
-    outputs (side heads). Batch: dict with 'lq' (degraded) and 'gt', NHWC,
+    The model's apply may return ``pred``, ``(pred, aux)`` where ``aux`` is a
+    dict carrying ``aux_loss`` (MoE balance) or side heads (DarkIR), or a
+    tuple of arrays (NeRD-Rain's 7-output pyramid) — ``split_model_output``
+    normalizes all three. The loss comes from the named ``cfg.recipe``
+    (train/recipes.py). Batch: dict with 'lq' (degraded) and 'gt', NHWC,
     sharded over the mesh 'data' axis.
     """
-    loss_fn = weighted_loss(dict(cfg.loss))
+    from image_restoration_tpu.train.recipes import make_recipe
+
+    if cfg.recipe == "default" and not cfg.recipe_kwargs:
+        recipe = make_recipe("default", loss_terms=cfg.loss,
+                             aux_loss_weight=cfg.aux_loss_weight)
+    else:
+        recipe = make_recipe(cfg.recipe, **dict(cfg.recipe_kwargs))
+    apply_kwargs = dict(cfg.apply_kwargs)
 
     def step_fn(state: TrainState, batch, rng):
         def compute_loss(params):
             out = model.apply({"params": params}, batch["lq"],
-                              rngs={"moe": rng} if rng is not None else None)
-            aux = {}
-            if isinstance(out, tuple):
-                out, aux = out
-            total, logs = loss_fn(out, batch["gt"])
-            if cfg.aux_loss_weight and "aux_loss" in aux:
-                total = total + cfg.aux_loss_weight * aux["aux_loss"]
-                logs["aux"] = aux["aux_loss"]
+                              rngs={"moe": rng} if rng is not None else None,
+                              **apply_kwargs)
+            out, aux = split_model_output(out)
+            total, logs = recipe(out, aux, batch)
             logs["total"] = total
             return total, logs
 

@@ -1,0 +1,170 @@
+"""Training recipes: HOG loss parity vs the reference module, multi-output
+supervision (NeRD-Rain pyramid, DarkIR side head), HOGformer composite."""
+
+import numpy as np
+import pytest
+
+from conftest import load_reference_module, nhwc_to_nchw
+
+
+def _stub_basicsr():
+    """Minimal basicsr stubs so image_restoration_model.py executes; only
+    HOGLayer/HOGLoss/Mixing_Augment are exercised (torch-only code)."""
+    import sys
+    import types
+
+    mods = {
+        "basicsr": {},
+        "basicsr.models": {},
+        "basicsr.models.archs": {"define_network": lambda *a, **k: None},
+        "basicsr.models.base_model": {"BaseModel": type("BaseModel", (), {})},
+        "basicsr.utils": {
+            "get_root_logger": lambda *a, **k: None,
+            "imwrite": lambda *a, **k: None,
+            "tensor2img": lambda *a, **k: None,
+        },
+        "basicsr.models.losses": {},
+        "basicsr.metrics": {},
+    }
+    for name, attrs in mods.items():
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+
+
+@pytest.fixture(scope="module")
+def ref_hog():
+    _stub_basicsr()
+    return load_reference_module(
+        "HOGformer-main/settingI/basicsr/models/image_restoration_model.py",
+        "ref_hog_model")
+
+
+@pytest.mark.parametrize("block_size", [1, 2])
+def test_hog_features_parity(rng, ref_hog, block_size):
+    import torch
+
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.train.losses import hog_features
+
+    x = rng.random((2, 40, 48, 3), dtype=np.float32)
+    layer = ref_hog.HOGLayer(block_size=block_size)
+    ref = layer(torch.from_numpy(nhwc_to_nchw(x))).numpy()
+    got = np.asarray(hog_features(jnp.asarray(x), block_size=block_size))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-4)
+
+
+def test_hog_loss_parity(rng, ref_hog):
+    import torch
+
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.train.losses import hog_loss
+
+    p = rng.random((2, 32, 32, 3), dtype=np.float32)
+    t = rng.random((2, 32, 32, 3), dtype=np.float32)
+    ref = float(ref_hog.HOGLoss()(torch.from_numpy(nhwc_to_nchw(p)),
+                                  torch.from_numpy(nhwc_to_nchw(t))))
+    got = float(hog_loss(jnp.asarray(p), jnp.asarray(t)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_hog_loss_registered_and_differentiable(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.train.losses import LOSSES
+
+    p = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    t = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    g = jax.grad(lambda a: LOSSES["hog"](a, t))(p)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_build_pyramid_shapes(rng):
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.train.losses import build_pyramid
+
+    x = jnp.asarray(rng.random((1, 32, 48, 3), dtype=np.float32))
+    pyr = build_pyramid(x, 3)
+    assert [p.shape for p in pyr] == [(1, 32, 48, 3), (1, 16, 24, 3), (1, 8, 12, 3)]
+    # pyrdown of a constant image is the same constant (kernel sums to 1)
+    c = build_pyramid(jnp.full((1, 16, 16, 3), 0.25), 2)[1]
+    np.testing.assert_allclose(np.asarray(c), 0.25, atol=1e-6)
+
+
+def _one_step(model, x, y, tcfg):
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.train.trainer import (
+        TrainState, make_optimizer, make_train_step)
+
+    rng = jax.random.PRNGKey(0)
+    # init with the same static kwargs as training so optional heads
+    # (DarkIR side_out) exist in the param tree
+    params = model.init(rng, jnp.asarray(x), **dict(tcfg.apply_kwargs))["params"]
+    tx = make_optimizer(tcfg)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, tcfg, mesh=None)
+    batch = {"lq": jnp.asarray(x), "gt": jnp.asarray(y)}
+    state, logs = step(state, batch, rng)
+    return state, {k: float(v) for k, v in logs.items()}
+
+
+def test_nerd_rain_trains_through_unified_trainer(rng):
+    """VERDICT Missing #5: the 7-tuple pyramid output must train."""
+    from image_restoration_tpu.models.nerd_rain import MultiscaleNet
+    from image_restoration_tpu.train.trainer import TrainerConfig
+
+    model = MultiscaleNet(dim=4, num_blocks=(1, 1, 1), heads=(1, 1, 1))
+    x = rng.random((1, 16, 16, 3), dtype=np.float32)
+    y = rng.random((1, 16, 16, 3), dtype=np.float32)
+    tcfg = TrainerConfig(learning_rate=1e-4, recipe="nerd_rain")
+    state, logs = _one_step(model, x, y, tcfg)
+    assert np.isfinite(logs["total"])
+    for k in ("char", "fft", "edge", "inr_l1"):
+        assert np.isfinite(logs[k]) and logs[k] > 0
+
+
+def test_darkir_side_loss_trains(rng):
+    """VERDICT Missing #5: DarkIR's side head must contribute to the loss."""
+    from image_restoration_tpu.models.darkir import DarkIR
+    from image_restoration_tpu.train.trainer import TrainerConfig
+
+    model = DarkIR(width=4, enc_blk_nums=(1, 1, 1), dec_blk_nums=(1, 1, 1),
+                   middle_blk_num_enc=1, middle_blk_num_dec=1)
+    x = rng.random((1, 16, 16, 3), dtype=np.float32)
+    y = rng.random((1, 16, 16, 3), dtype=np.float32)
+    tcfg = TrainerConfig(learning_rate=1e-4, recipe="darkir",
+                         apply_kwargs={"side_loss": True})
+    state, logs = _one_step(model, x, y, tcfg)
+    assert np.isfinite(logs["total"])
+    assert "enhance" in logs and np.isfinite(logs["enhance"])
+
+
+def test_hogformer_recipe(rng):
+    from image_restoration_tpu.models.restormer import Restormer
+    from image_restoration_tpu.train.trainer import TrainerConfig
+
+    model = Restormer(dim=8, num_blocks=(1, 1, 1, 1), heads=(1, 1, 1, 1),
+                      num_refinement_blocks=1)
+    x = rng.random((1, 16, 16, 3), dtype=np.float32)
+    y = rng.random((1, 16, 16, 3), dtype=np.float32)
+    tcfg = TrainerConfig(learning_rate=1e-4, recipe="hogformer")
+    state, logs = _one_step(model, x, y, tcfg)
+    for k in ("l_pix", "l_pear", "l_hog", "total"):
+        assert np.isfinite(logs[k])
+
+
+def test_unknown_recipe_raises():
+    from image_restoration_tpu.train.recipes import make_recipe
+
+    with pytest.raises(KeyError):
+        make_recipe("nope")
