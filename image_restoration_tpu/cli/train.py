@@ -84,13 +84,51 @@ def make_lr_schedule(cfg, steps_per_epoch: int):
     return S.SCHEDULES[name](cfg["lr"]), total
 
 
+# static model.apply kwargs implied by a recipe (heads that must exist at
+# init time too, e.g. DarkIR's side projection)
+RECIPE_APPLY_KWARGS = {"darkir": {"side_loss": True}}
+
+
+def build_validator(cfg, model, pad_multiple: int = 8):
+    """In-training validation closure -> mean PSNR over a paired folder
+    (NeRD-Rain train.py:176-189: forward, per-image PSNR, mean)."""
+    from image_restoration_tpu.data.datasets import PairedFolderDataset
+    from image_restoration_tpu.eval.metrics import psnr
+    from image_restoration_tpu.eval.tiled import pad_test
+    from image_restoration_tpu.train.trainer import make_eval_step
+
+    if not (cfg.get("val_lq_dir") and cfg.get("val_gt_dir")):
+        return None
+    ds = PairedFolderDataset(cfg["val_lq_dir"], cfg["val_gt_dir"])
+    n = len(ds)
+    if cfg.get("val_max_images"):
+        n = min(n, cfg["val_max_images"])
+    eval_fn = make_eval_step(model, mesh=None, use_ema=bool(cfg.get("ema_decay")))
+
+    def validate(state):
+        vals = []
+        for i in range(n):
+            item = ds[i]
+            lq = jnp.asarray(item["lq"])[None]
+            gt = jnp.asarray(item["gt"])[None]
+            out = pad_test(lambda z: eval_fn(state, z), lq, pad_multiple)
+            vals.append(float(psnr(out.astype(jnp.float32), gt)[0]))
+        return float(np.mean(vals))
+
+    return validate
+
+
 def main(argv=None, max_steps_override: int | None = None):
     from image_restoration_tpu.core.mesh import make_mesh
-    from image_restoration_tpu.data.degradations import degrade_batch
+    from image_restoration_tpu.data.degradations import degrade_batch, mixup_device
     from image_restoration_tpu.data.pipeline import Loader, make_train_iterator
     from image_restoration_tpu.train.checkpoint import CheckpointManager
+    from image_restoration_tpu.train.progressive import (
+        ProgressiveSchedule, ReduceLROnPlateau,
+    )
     from image_restoration_tpu.train.trainer import (
         TrainerConfig, TrainState, make_optimizer, make_train_step, replicate,
+        set_lr_scale,
     )
     from image_restoration_tpu.utils.logging import MessageLogger, count_params
     from image_restoration_tpu.utils.options import dump_effective_config, parse_options
@@ -122,17 +160,21 @@ def main(argv=None, max_steps_override: int | None = None):
     if max_steps_override:
         total_steps = max_steps_override
 
+    recipe = cfg.get("recipe", "default")
+    apply_kwargs = RECIPE_APPLY_KWARGS.get(recipe, {})
     tcfg = TrainerConfig(
         learning_rate=lr_sched, weight_decay=cfg.get("weight_decay", 0.0),
         grad_clip=cfg.get("grad_clip"), ema_decay=cfg.get("ema_decay"),
         loss=cfg["loss"], aux_loss_weight=cfg.get("aux_loss_weight", 0.0),
+        recipe=recipe, apply_kwargs=apply_kwargs,
+        plateau=bool(cfg.get("plateau")),
     )
     tx = make_optimizer(tcfg)
 
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
     sample = next(iter(loader.epoch(0)))
     init_x = jnp.asarray(sample["lq"][:1])
-    params = model.init(rng, init_x)["params"]
+    params = model.init(rng, init_x, **apply_kwargs)["params"]
     print(f"model={cfg['model']} params={count_params(params)/1e6:.2f}M "
           f"total_steps={total_steps}")
     state = TrainState.create(params, tx, ema_decay=tcfg.ema_decay)
@@ -150,21 +192,66 @@ def main(argv=None, max_steps_override: int | None = None):
                            use_wandb=cfg.get("wandb"))
     step_fn = make_train_step(model, tx, tcfg, mesh=mesh)
 
+    # progressive patch/batch schedule (HOGformer/Restormer recipe) — host
+    # transform in the prefetch thread; at most num_buckets() compilations
+    prog = None
+    if cfg.get("prog_iters"):
+        prog = ProgressiveSchedule(cfg["prog_iters"], cfg["prog_gt_sizes"],
+                                   cfg["prog_batch_sizes"],
+                                   scale=cfg.get("scale", 1))
+        prog = prog.aligned(mesh.shape["data"])
+        print(f"progressive schedule: {prog.num_buckets()} shape buckets")
+    prog_rng = np.random.default_rng(cfg.get("seed", 0) + 7)
+    transform = (lambda s, arrays: prog.apply_batch(arrays, s, prog_rng)) if prog else None
+
+    plateau = None
+    if cfg.get("plateau"):
+        plateau = ReduceLROnPlateau(factor=cfg.get("plateau_factor", 0.5),
+                                    patience=cfg.get("plateau_patience", 3),
+                                    window=cfg.get("plateau_window", 1000))
+    use_mixup = bool(cfg.get("mixup"))
+    mixup = None
+    if use_mixup:
+        beta = cfg.get("mixup_beta", 1.2)
+        ident = bool(cfg.get("mixup_identity"))
+        mixup = jax.jit(lambda k, lq, gt: mixup_device(k, lq, gt, beta, ident))
+
+    validate = build_validator(cfg, model, cfg.get("pad_multiple", 8))
+    val_every = cfg.get("val_every", 0)
+    best_psnr = -1.0
+
     with mesh:
         state = replicate(state, mesh)
         it = make_train_iterator(loader, mesh,
-                                 start_epoch=start_step // steps_per_epoch)
+                                 start_epoch=start_step // steps_per_epoch,
+                                 transform=transform, start_step=start_step)
         degrade = jax.jit(degrade_batch)
         for step in range(start_step, total_steps):
             batch = next(it)
             key = jax.random.fold_in(rng, step)
             batch = degrade(key, batch)
-            state, logs = step_fn(state, {"lq": batch["lq"], "gt": batch["gt"]},
+            lq, gt = batch["lq"], batch["gt"]
+            if mixup is not None:
+                lq, gt = mixup(jax.random.fold_in(key, 2), lq, gt)
+            state, logs = step_fn(state, {"lq": lq, "gt": gt},
                                   jax.random.fold_in(key, 1))
             if step % cfg.get("log_every", 100) == 0 or step == total_steps - 1:
                 logger.log(step, {k: v for k, v in logs.items()})
+            if plateau is not None:
+                new_scale = plateau.push_loss(float(logs["total"]))
+                if new_scale is not None:
+                    state = state.replace(
+                        opt_state=set_lr_scale(state.opt_state, new_scale))
+            if val_every and (step + 1) % val_every == 0 and validate is not None:
+                val_psnr = validate(state)
+                logger.log(step, {"psnr": val_psnr}, prefix="val")
+                if ckpt.maybe_save_best(step + 1, jax.device_get(state), val_psnr):
+                    best_psnr = val_psnr
+                    print(f"step {step + 1}: new best val PSNR {val_psnr:.3f}")
             ckpt.save(step + 1, jax.device_get(state))
         ckpt.save(total_steps, jax.device_get(state), force=True)
+    if best_psnr >= 0:
+        print(f"best val PSNR: {best_psnr:.3f}")
     print(f"done: {total_steps} steps; checkpoints in {exp_dir}/ckpt")
     return state
 

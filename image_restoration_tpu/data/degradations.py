@@ -37,6 +37,25 @@ def add_gaussian_noise(key, clean01, sigma):
     return jnp.clip(clean01 + noise * sigma / 255.0, 0.0, 1.0)
 
 
+def mixup_device(key, lq, gt, beta: float = 1.2, use_identity: bool = False):
+    """On-device batch mixup (BasicSR Mixing_Augment,
+    image_restoration_model.py:145-170): one shared lam ~ Beta(beta, beta)
+    and one shared permutation mix BOTH lq and gt; with ``use_identity`` the
+    mix is skipped with probability 1/(n_augments+1) = 1/2.
+
+    Runs after degradation synthesis, matching the reference order (the
+    dataset yields already-degraded lq; feed_train_data mixes it :276-284).
+    """
+    k_lam, k_perm, k_id = jax.random.split(key, 3)
+    lam = jax.random.beta(k_lam, beta, beta, dtype=jnp.float32)
+    perm = jax.random.permutation(k_perm, lq.shape[0])
+    if use_identity:
+        lam = jnp.where(jax.random.bernoulli(k_id, 0.5), lam, 1.0)
+    lam = lam.astype(lq.dtype)
+    return (lam * lq + (1 - lam) * lq[perm],
+            lam * gt + (1 - lam) * gt[perm])
+
+
 def degrade_batch(key, batch):
     """Apply per-sample synthetic degradations on device.
 

@@ -91,8 +91,16 @@ class DevicePrefetcher:
 
 
 def make_train_iterator(loader: Loader, mesh=None, epochs: int = 10**9,
-                        start_epoch: int = 0, prefetch: int = 2):
-    """Infinite (or bounded) stream of device-resident batches."""
+                        start_epoch: int = 0, prefetch: int = 2,
+                        transform=None, start_step: int = 0):
+    """Infinite (or bounded) stream of device-resident batches.
+
+    ``transform(step, arrays) -> arrays`` runs host-side in the prefetch
+    thread before device_put — the hook for the progressive patch/batch
+    schedule (train/progressive.py), which must reshape numpy batches
+    before they are sharded. ``step`` counts consumed batches from
+    ``start_step`` (resume-correct as long as consumption is sequential).
+    """
     from image_restoration_tpu.train.trainer import shard_batch
 
     def put(batch):
@@ -102,7 +110,12 @@ def make_train_iterator(loader: Loader, mesh=None, epochs: int = 10**9,
         return jax.tree.map(jax.numpy.asarray, arrays)
 
     def gen():
+        step = start_step
         for e in range(start_epoch, epochs):
-            yield from loader.epoch(e)
+            for batch in loader.epoch(e):
+                if transform is not None:
+                    batch = transform(step, batch)
+                step += 1
+                yield batch
 
     return iter(DevicePrefetcher(gen(), put, prefetch))

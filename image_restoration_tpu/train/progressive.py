@@ -49,6 +49,14 @@ class ProgressiveSchedule:
         """Upper bound on distinct jit shapes this schedule induces."""
         return len(set(zip(self.batch_sizes, self.gt_sizes)))
 
+    def aligned(self, multiple: int) -> "ProgressiveSchedule":
+        """Copy with batch sizes rounded UP to a multiple of the mesh data
+        axis, so every bucket's batch shards evenly (the reference's
+        GPU-count-agnostic sizes like 5 don't divide a TPU mesh)."""
+        bs = [max(multiple, -(-b // multiple) * multiple) for b in self.batch_sizes]
+        return ProgressiveSchedule(list(self.iters), list(self.gt_sizes), bs,
+                                   scale=self.scale)
+
     def apply(self, lq: np.ndarray, gt: np.ndarray, step: int,
               rng: np.random.Generator):
         """Subsample the batch and random-crop the patch for this step's
@@ -66,6 +74,26 @@ class ProgressiveSchedule:
             lq = lq[:, x0 : x0 + gsize, y0 : y0 + gsize]
             gt = gt[:, x0 * s : (x0 + gsize) * s, y0 * s : (y0 + gsize) * s]
         return lq, gt
+
+    def apply_batch(self, arrays: dict, step: int, rng: np.random.Generator):
+        """Dict variant for the pipeline transform hook: subsamples EVERY
+        per-sample array (lq, gt, sigma, de_id, ...) with one shared index
+        set, then crops lq/gt spatially."""
+        bs, gsize = self.shapes(step)
+        b, h, w = arrays["lq"].shape[:3]
+        out = dict(arrays)
+        if bs < b:
+            idx = rng.choice(b, size=bs, replace=False)
+            out = {k: (v[idx] if isinstance(v, np.ndarray) and v.shape[:1] == (b,)
+                       else v) for k, v in out.items()}
+        if gsize < h or gsize < w:
+            x0 = int((h - gsize) * rng.random())
+            y0 = int((w - gsize) * rng.random())
+            s = self.scale
+            out["lq"] = out["lq"][:, x0 : x0 + gsize, y0 : y0 + gsize]
+            out["gt"] = out["gt"][:, x0 * s : (x0 + gsize) * s,
+                                  y0 * s : (y0 + gsize) * s]
+        return out
 
 
 class ReduceLROnPlateau:

@@ -54,6 +54,9 @@ class TrainerConfig:
     apply_kwargs: Mapping = dataclasses.field(default_factory=dict)
     # extra static kwargs for model.apply at train time, e.g. DarkIR's
     # side_loss=True (DarkIR.py:74) or MoE models' train=True
+    plateau: bool = False                   # enable host-driven LR scaling
+    # (ReduceLROnPlateau, BasicSR train.py:285-293): appends an injected
+    # step_size multiplier the host mutates via set_lr_scale
 
 
 def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
@@ -75,7 +78,43 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
         chain.append(optax.zero_nans())
         chain.append(optax.clip_by_global_norm(cfg.grad_clip))
     chain.append(opt)
+    if cfg.plateau:
+        # LR update = -lr * step_size * direction; step_size lives in the
+        # opt_state (InjectHyperparamsState) so the host can change it
+        # without retracing the compiled step.
+        chain.append(optax.inject_hyperparams(optax.scale)(step_size=1.0))
     return optax.chain(*chain)
+
+
+def set_lr_scale(opt_state, scale: float):
+    """Replace the injected plateau ``step_size`` inside an optax chain
+    state (requires TrainerConfig.plateau=True). Pure pytree surgery — the
+    returned state feeds the already-jitted train step unchanged."""
+    found = [0]
+    inject_types = tuple(
+        t for t in (getattr(optax, "InjectHyperparamsState", None),
+                    getattr(optax, "InjectStatefulHyperparamsState", None),
+                    getattr(getattr(optax, "injection", None),
+                            "InjectStatefulHyperparamsState", None))
+        if t is not None)
+
+    def walk(s):
+        if isinstance(s, inject_types):
+            found[0] += 1
+            hp = dict(s.hyperparams)
+            hp["step_size"] = jnp.asarray(scale, jnp.float32)
+            return s._replace(hyperparams=hp)
+        if isinstance(s, tuple) and hasattr(s, "_fields"):
+            return type(s)(*[walk(x) for x in s])
+        if isinstance(s, tuple):
+            return tuple(walk(x) for x in s)
+        return s
+
+    out = walk(opt_state)
+    if not found[0]:
+        raise ValueError("no InjectHyperparamsState in opt_state — "
+                         "build the optimizer with TrainerConfig(plateau=True)")
+    return out
 
 
 def split_model_output(out):

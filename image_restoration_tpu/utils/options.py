@@ -40,9 +40,12 @@ MODEL_DEFAULTS: Dict[str, Dict[str, Any]] = {
                     complexity_scale="max"),
     "transweather": dict(),
     "srconvnet": dict(dim=64, n_blocks=10, num_heads=8, scale=4),
-    "darkir": dict(width=32, enc_blk_nums=[1, 2, 3], middle_blk_num=3,
-                   dec_blk_nums=[3, 1, 1], dilations=[1, 4, 9]),
-    "nerd_rain": dict(base_channel=18, num_res=4),
+    # DarkIR-m defaults (DarkIR.py:11-28)
+    "darkir": dict(width=32, enc_blk_nums=[1, 2, 3], middle_blk_num_enc=2,
+                   middle_blk_num_dec=2, dec_blk_nums=[3, 1, 1],
+                   dilations=[1, 4, 9]),
+    # NeRD-Rain large (model.py:234: dim=48, blocks (2,3,3), heads (1,2,4))
+    "nerd_rain": dict(dim=48, num_blocks=[2, 3, 3], heads=[1, 2, 4]),
     "drsformer": dict(dim=48, num_blocks=[4, 6, 6, 8], heads=[1, 2, 4, 8]),
     "sfhformer": dict(),
     "hogformer": dict(dim=36, num_blocks=[4, 6, 6, 8], heads=[1, 2, 4, 8]),
@@ -50,7 +53,8 @@ MODEL_DEFAULTS: Dict[str, Dict[str, Any]] = {
     "igmoce_ir": dict(dim=48, num_blocks=[4, 6, 6, 8], heads=[1, 2, 4, 8]),
     "measnet": dict(dim=32),
     "mwformer": dict(),
-    "lsnet": dict(variant="t"),
+    # LSNet-T (lsnet.py:231; s/b variants via --set model_kwargs.*)
+    "lsnet": dict(embed_dim=[64, 128, 192, 256], depth=[1, 2, 3, 4]),
     # remaining registry entries keep their flax-field defaults, which
     # already mirror the reference configs; listed so --model help is total
     "lumisense_moe": dict(),
@@ -63,7 +67,7 @@ MODEL_DEFAULTS: Dict[str, Dict[str, Any]] = {
     "vig_h": dict(),
     "moce_ir_patch": dict(),
     "sfsnid": dict(),
-    "hilo": dict(),
+    "hilo": dict(dim=96),
     "pinn": dict(),
 }
 
@@ -98,7 +102,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loss", nargs="+", default=["l1=1.0"],
                    help="terms name=weight, e.g. l1=1.0 fft=0.1")
     p.add_argument("--aux_loss_weight", type=float, default=0.01)
+    p.add_argument("--recipe", type=str, default="default",
+                   help="loss recipe: default|nerd_rain|darkir|hogformer")
     p.add_argument("--seed", type=int, default=0)
+    # mixup (BasicSR mixing_augs, image_restoration_model.py:145-170)
+    p.add_argument("--mixup", action="store_true")
+    p.add_argument("--mixup_beta", type=float, default=1.2)
+    p.add_argument("--mixup_identity", action="store_true",
+                   help="use_identity: sometimes skip the mix")
+    # progressive patch/batch schedule (BasicSR train.py:296-326;
+    # HOGformer yml mini_batch_sizes/gt_sizes/iters)
+    p.add_argument("--prog_iters", nargs="+", type=int, default=None,
+                   help="group lengths, e.g. 92000 64000 48000 36000 36000 24000")
+    p.add_argument("--prog_gt_sizes", nargs="+", type=int, default=None)
+    p.add_argument("--prog_batch_sizes", nargs="+", type=int, default=None)
+    # plateau LR (BasicSR ReduceLROnPlateau branch, train.py:285-293)
+    p.add_argument("--plateau", action="store_true")
+    p.add_argument("--plateau_factor", type=float, default=0.5)
+    p.add_argument("--plateau_patience", type=int, default=3)
+    p.add_argument("--plateau_window", type=int, default=1000)
+    # in-training validation (NeRD-Rain train.py:176-198 best-PSNR cycle)
+    p.add_argument("--val_lq_dir", type=str, default=None)
+    p.add_argument("--val_gt_dir", type=str, default=None)
+    p.add_argument("--val_max_images", type=int, default=0,
+                   help="cap validation set size (0 = all)")
     # precision / mesh
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--fp32", dest="bf16", action="store_false")

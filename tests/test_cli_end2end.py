@@ -92,6 +92,65 @@ def test_resume(data_root, tmp_path):
     assert int(state.step) == 4
 
 
+def test_progressive_val_best_cycle(data_root, tmp_path):
+    """VERDICT r1 item 2: progressive patch/batch schedule + in-training
+    validation + save-best-by-val-PSNR + mixup + plateau LR, end to end
+    (HOGformer settingI/basicsr/train.py:270-382 recipe shape)."""
+    import json
+
+    from image_restoration_tpu.cli import train as train_cli
+
+    ckpt_dir = str(tmp_path / "exp3")
+    argv = [
+        "--model", "restormer", "--data_file_dir", data_root,
+        "--trainset", "aio", "--de_type", "derain",
+        "--patch_size", "32", "--batch_size", "2", "--epochs", "1",
+        "--lr", "1e-3", "--ckpt_dir", ckpt_dir, "--name", "t",
+        "--save_every", "100", "--log_every", "1", "--fp32",
+        "--prog_iters", "2", "2", "2",
+        "--prog_gt_sizes", "16", "24", "32",
+        "--prog_batch_sizes", "2", "2", "1",
+        "--mixup", "--mixup_beta", "1.2",
+        "--plateau", "--plateau_window", "2",
+        "--val_every", "3",
+        "--val_lq_dir", f"{data_root}/deraining/Rain100L/input",
+        "--val_gt_dir", f"{data_root}/deraining/Rain100L/target",
+        "--set", "model_kwargs.dim=8",
+        "--set", "model_kwargs.num_blocks=(1,1,1,1)",
+        "--set", "model_kwargs.num_refinement_blocks=1",
+    ]
+    train_cli.main(argv, max_steps_override=6)
+    exp = os.path.join(ckpt_dir, "t")
+    # best-checkpoint pointer written by maybe_save_best
+    assert os.path.exists(os.path.join(exp, "ckpt", "best"))
+    step, psnr = open(os.path.join(exp, "ckpt", "best")).read().split()
+    assert 5 < float(psnr) < 60
+    # val_psnr made it into the metric log
+    logged = [json.loads(l) for l in open(os.path.join(exp, "metrics.jsonl"))]
+    assert any("val/psnr" in e for e in logged)
+
+
+def test_darkir_recipe_cli(data_root, tmp_path):
+    """The darkir recipe trains through the CLI with its side head."""
+    from image_restoration_tpu.cli import train as train_cli
+
+    ckpt_dir = str(tmp_path / "exp4")
+    argv = [
+        "--model", "darkir", "--data_file_dir", data_root,
+        "--trainset", "aio", "--de_type", "derain",
+        "--patch_size", "32", "--batch_size", "2", "--epochs", "1",
+        "--recipe", "darkir", "--ckpt_dir", ckpt_dir, "--name", "t",
+        "--save_every", "100", "--log_every", "1", "--fp32",
+        "--set", "model_kwargs.width=4",
+        "--set", "model_kwargs.enc_blk_nums=(1,1,1)",
+        "--set", "model_kwargs.dec_blk_nums=(1,1,1)",
+        "--set", "model_kwargs.middle_blk_num_enc=1",
+        "--set", "model_kwargs.middle_blk_num_dec=1",
+    ]
+    state = train_cli.main(argv, max_steps_override=2)
+    assert int(state.step) == 2
+
+
 def test_aio_denoise_on_device(data_root):
     """Synthetic denoise tasks: lq==gt from disk, sigma>0, noise on device."""
     import jax
@@ -118,6 +177,17 @@ def test_aio_denoise_on_device(data_root):
     diff = np.abs(np.asarray(out["lq"]) - batch["gt"])
     assert 0.01 < diff.mean() < 0.1  # sigma 25/255 noise got applied
     np.testing.assert_array_equal(np.asarray(out["gt"]), batch["gt"])
+
+
+def test_model_defaults_construct():
+    """Every MODEL_DEFAULTS entry must match its model's constructor —
+    stale kwargs (e.g. a renamed field) should fail fast, not at train time."""
+    from image_restoration_tpu.models import get_model
+    from image_restoration_tpu.utils.options import MODEL_DEFAULTS
+
+    for name, kw in MODEL_DEFAULTS.items():
+        kw2 = {k: tuple(v) if isinstance(v, list) else v for k, v in kw.items()}
+        get_model(name, **kw2)  # flax module construction validates kwargs
 
 
 def test_cloud_log():
