@@ -77,15 +77,39 @@ def main(argv=None):
     if cfg.get("mode") is not None:
         benches = MODE_TO_BENCHMARKS[cfg["mode"]]
 
+    # LPIPS column (MoCE-IR-main/src/test.py:88,105,123) — needs trained
+    # weights (torchvision vgg16 + lpips linear heads in one .pth)
+    lpips_fn = None
+    if cfg.get("lpips_ckpt"):
+        from image_restoration_tpu.eval.perceptual import LPIPS, lpips_key_map
+        from image_restoration_tpu.utils.torch_import import (
+            import_state_dict, load_torch_checkpoint,
+        )
+
+        lp = LPIPS()
+        lp_params = lp.init(jax.random.PRNGKey(0), init_x, init_x)["params"]
+        sd = load_torch_checkpoint(cfg["lpips_ckpt"])
+        lp_params = import_state_dict(lp_params, sd, key_map=lpips_key_map)
+        lpips_fn = jax.jit(lambda a, b: lp.apply({"params": lp_params}, a, b))
+
+    extra_kw = {}
+    if cfg.get("pad_multiple", 8) != 8:  # explicit override beats protocol
+        extra_kw["pad_multiple"] = cfg["pad_multiple"]
+    if cfg.get("tile"):
+        extra_kw["tile"] = cfg["tile"]
+    if cfg.get("save_images"):
+        extra_kw["save_dir"] = cfg["save_images"]
+    if lpips_fn is not None:
+        extra_kw["lpips_fn"] = lpips_fn
+
     results = {}
     for b in benches:
-        r = run_benchmark(
-            b, fn, cfg["data_file_dir"],
-            pad_multiple=cfg.get("pad_multiple", 8), tile=cfg.get("tile"),
-            save_dir=cfg.get("save_images"),
-        )
-        results[b] = {"psnr": r.psnr, "ssim": r.ssim, "n": r.n}
-        print(f"{b}: PSNR {r.psnr:.4f} dB | SSIM {r.ssim:.4f} | {r.n} images")
+        r = run_benchmark(b, fn, cfg["data_file_dir"], **extra_kw)
+        results[b] = {"psnr": r.psnr, "ssim": r.ssim, "n": r.n, **r.extra}
+        cols = f"{b}: PSNR {r.psnr:.4f} dB | SSIM {r.ssim:.4f}"
+        if "lpips" in r.extra:
+            cols += f" | LPIPS {r.extra['lpips']:.4f}"
+        print(cols + f" | {r.n} images")
 
     out_dir = cfg.get("output_dir", "results")
     os.makedirs(out_dir, exist_ok=True)

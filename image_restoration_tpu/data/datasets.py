@@ -239,6 +239,45 @@ class PairedFolderDataset:
         }
 
 
+class SRBenchmark:
+    """Classic SR benchmark layout (SRConvNet-main/datas/benchmark.py:17-61):
+    ``HR/{name}.png`` + ``LR_bicubic/X{scale}/{name}x{scale}.png``; the HR is
+    cropped to ``lr_size * scale`` so shapes divide exactly (:60-61)."""
+
+    def __init__(self, root: str, scale: int = 4,
+                 hr_dirname: str = "HR", lr_dirname: str = "LR_bicubic"):
+        self.scale = int(scale)
+        hr_dir = os.path.join(root, hr_dirname)
+        lr_dir = os.path.join(root, lr_dirname, f"X{scale}")
+        self.hrs = _list_images(hr_dir)
+        if not self.hrs:
+            raise ValueError(f"no images in {hr_dir}")
+        self.lrs = []
+        for p in self.hrs:
+            stem, ext = os.path.splitext(os.path.basename(p))
+            cand = os.path.join(lr_dir, f"{stem}x{scale}{ext}")
+            if not os.path.exists(cand):  # some sets drop the xN suffix
+                cand = os.path.join(lr_dir, f"{stem}{ext}")
+            if not os.path.exists(cand):
+                raise FileNotFoundError(f"missing LR for {p}: {cand}")
+            self.lrs.append(cand)
+
+    def __len__(self):
+        return len(self.hrs)
+
+    def __getitem__(self, idx: int) -> dict:
+        lr, hr = _imread(self.lrs[idx]), _imread(self.hrs[idx])
+        s = self.scale
+        hr = hr[: lr.shape[0] * s, : lr.shape[1] * s]
+        return {
+            "lq": lr.astype(np.float32) / 255.0,
+            "gt": hr.astype(np.float32) / 255.0,
+            "de_id": np.int32(0),
+            "sigma": np.float32(0.0),
+            "name": self.lrs[idx],
+        }
+
+
 class DenoiseBenchmark:
     """BSD68/Urban100-style clean-folder benchmark with test-time noise at a
     fixed sigma (IRBenchmarks/DenoiseTestDataset set_sigma behavior)."""

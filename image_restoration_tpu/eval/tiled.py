@@ -115,11 +115,13 @@ def windowed_apply(fn, x, ws: int, max_batch: int | None = None):
     return window_reverse(outs, meta)
 
 
-def pad_test(fn, x, multiple: int, mode: str = "reflect"):
+def pad_test(fn, x, multiple: int, mode: str = "reflect", scale: int = 1):
     """Pad to x multiple, run, crop back (image_restoration_model.py:326-338,
-    moce_ir.py:1054-1060)."""
+    moce_ir.py:1054-1060). ``scale`` > 1 for SR models whose output is
+    scale-x larger: the crop keeps (H*scale, W*scale)."""
     xp, hw = pad_to_multiple(x, multiple, mode)
-    return crop_to(fn(xp), hw)
+    out = fn(xp)
+    return crop_to(out, (hw[0] * scale, hw[1] * scale))
 
 
 def overlap_average_apply(fn, x, patch: int = 48, stride: int | None = None,

@@ -148,6 +148,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt", type=str, default=None, help="checkpoint to load (orbax dir/step, .npz, or torch .pth/.ckpt)")
     p.add_argument("--prefer_ema", action="store_true")
     p.add_argument("--tile", type=int, default=None, help="window size for tiled inference")
+    p.add_argument("--lpips_ckpt", type=str, default=None,
+                   help="torch .pth with vgg16+lpips-head weights; enables the LPIPS column")
     p.add_argument("--pad_multiple", type=int, default=8)
     p.add_argument("--save_images", type=str, default=None)
     p.add_argument("--output_dir", type=str, default="results")
