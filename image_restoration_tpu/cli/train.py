@@ -133,6 +133,9 @@ def main(argv=None, max_steps_override: int | None = None):
     from image_restoration_tpu.utils.logging import MessageLogger, count_params
     from image_restoration_tpu.utils.options import dump_effective_config, parse_options
 
+    from image_restoration_tpu.core.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # no-op unless IR_TPU_MULTIHOST/..._COORDINATOR set
     cfg = parse_options(argv)
     exp_dir = os.path.join(cfg["ckpt_dir"], cfg["name"])
     os.makedirs(exp_dir, exist_ok=True)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from image_restoration_tpu.kernels.gdfn_pallas import _round_up
+from image_restoration_tpu.kernels.gdfn_pallas import _round_up, pick_tile_height
 
 
 def _acc_kernel(qk_in_ref, qkprod_ref, qss_ref, kss_ref, *, cps: int):
@@ -114,11 +114,7 @@ def _forward(qkv_padded, x, temperature, w_proj, b_proj, num_heads: int):
         return (t * w * cps * 2 + 2 * t * w * c * x.dtype.itemsize
                 + t * w * cps * 4 * 2)
 
-    th = 1
-    for t in sorted({d for d in range(1, h + 1) if h % d == 0}):
-        if vmem_a(t) <= 36 * 1024 * 1024 and vmem_b(t) <= 36 * 1024 * 1024 \
-                and t <= 64:
-            th = t
+    th = pick_tile_height(h, vmem_a, vmem_b)
     n_hi = h // th
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)

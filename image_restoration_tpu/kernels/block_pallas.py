@@ -48,13 +48,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from image_restoration_tpu.kernels.gdfn_pallas import (
+    VMEM_BUDGET,
     _reference_ln_gdfn,
     _round_up,
+    pick_tile_height,
 )
 from image_restoration_tpu.kernels.mdta_pallas import _reference as _ref_front
 from image_restoration_tpu.kernels.attn_core_pallas import _reference_core
-
-VMEM_BUDGET = 36 * 1024 * 1024
 
 
 # ---------------------------------------------------------------- canvas ---
@@ -290,11 +290,7 @@ def _pack_params(params, c, cp, cps, hp, hidden, cs, op):
 
 
 def _pick_th(vmem_of, h):
-    th = 1
-    for t in sorted({d for d in range(1, h + 1) if h % d == 0}):
-        if vmem_of(t) <= VMEM_BUDGET and t <= 64:
-            th = t
-    return th
+    return pick_tile_height(h, vmem_of)
 
 
 def _reference_block(x, params, num_heads, ln_type, eps):

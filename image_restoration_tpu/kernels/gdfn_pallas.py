@@ -47,6 +47,24 @@ def _pick_tile(h: int, target: int) -> int:
     return h
 
 
+# One budget for every row-tiled kernel (block/mdta/gdfn/attn_core).
+# 36 MB measured optimal on v5e with vmem_limit_bytes=100MB: 48 MB is flat,
+# 64 MB regresses (big tiles starve Mosaic's double-buffering), and >36 MB
+# can overflow the scoped stack at some shapes.
+VMEM_BUDGET = 36 * 1024 * 1024
+
+
+def pick_tile_height(h: int, *vmem_fns, budget: int = VMEM_BUDGET,
+                     max_th: int = 64) -> int:
+    """Largest divisor of ``h`` (<= max_th) whose estimated VMEM use stays
+    under budget for EVERY supplied estimator ``vmem_fn(th) -> bytes``."""
+    th = 1
+    for t in sorted({d for d in range(1, h + 1) if h % d == 0}):
+        if t <= max_th and all(f(t) <= budget for f in vmem_fns):
+            th = t
+    return th
+
+
 def _gdfn_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, wc_ref,
                  wg_ref, bc_ref, bg_ref, dwc_ref, dwg_ref, dbc_ref, dbg_ref,
                  wo_ref, bo_ref, o_ref, *, th: int, width: int, wp2: int,
@@ -180,10 +198,7 @@ def _fused_forward(x, params, ln_type: str, eps: float):
         out = t * w * cp * 4
         return xs + y32 + cg + acc + out
 
-    th = 1
-    for t in sorted({d for d in range(1, h + 1) if h % d == 0}):
-        if vmem_bytes(t) <= 36 * 1024 * 1024 and t <= 64:
-            th = t
+    th = pick_tile_height(h, vmem_bytes)
 
     f32 = jnp.float32
     z = lambda n: jnp.zeros((n,), f32)

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from image_restoration_tpu.kernels.gdfn_pallas import _pick_tile, _round_up
+from image_restoration_tpu.kernels.gdfn_pallas import (
+    _pick_tile, _round_up, pick_tile_height,
+)
 
 
 def _kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref, b_ref,
@@ -91,10 +93,7 @@ def _forward(x, params, ln_type: str, eps: float, split_pad: bool = False):
         acc = t * w * op * 4
         return xs + y32 + proj + acc * 2
 
-    th = 1
-    for t in sorted({d for d in range(1, h + 1) if h % d == 0}):
-        if vmem_bytes(t) <= 36 * 1024 * 1024 and t <= 64:
-            th = t
+    th = pick_tile_height(h, vmem_bytes)
 
     f32 = jnp.float32
     lnw_p = jnp.pad(lnw.astype(f32), (0, cp - c))

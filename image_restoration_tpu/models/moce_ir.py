@@ -239,19 +239,46 @@ class AdapterLayer(nn.Module):
 
 
 class EncoderBlock(nn.Module):
-    """LN -> MDTA -> +res; LN -> GDFN -> +res (moce_ir_orignal.py:573-588)."""
+    """LN -> MDTA -> +res; LN -> GDFN -> +res (moce_ir_orignal.py:573-588).
+
+    Structurally identical to Restormer's TransformerBlock (different param
+    names: norms_0/mixer/norms_1/ffn), so the same whole-block Pallas canvas
+    kernel applies — ``fused_block=True`` + a canvas input runs the entire
+    block in two HBM passes (kernels/block_pallas.py)."""
 
     dim: int
     num_heads: int
     expansion: float = 2.0
     use_bias: bool = True
     ln_type: str = "WithBias"
+    fused_block: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, w_real: int | None = None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.fused_block:
+            from image_restoration_tpu.kernels.block_pallas import fused_block
+            from image_restoration_tpu.models.restormer import (
+                _AttnParams, _GDFNParams, _LNParams,
+            )
+
+            d = self.dim
+            lnw1, lnb1 = _LNParams(self.ln_type, self.param_dtype,
+                                   name="norms_0")(d)
+            temp, wq, bq, wd, bd, wo, bo = _AttnParams(
+                d, self.num_heads, self.use_bias, self.param_dtype,
+                name="mixer")()
+            lnw2, lnb2 = _LNParams(self.ln_type, self.param_dtype,
+                                   name="norms_1")(d)
+            w_in, b_in, w_dw2, b_dw2, w_out, b_out = _GDFNParams(
+                d, self.expansion, self.use_bias, self.param_dtype,
+                name="ffn")()
+            params = (lnw1, lnb1, wq, bq, wd, bd, temp, wo, bo, lnw2, lnb2,
+                      w_in, b_in, w_dw2, b_dw2, w_out, b_out)
+            return fused_block(
+                x, params, (d, w_real, self.num_heads, self.ln_type, 1e-5))
         x = x + MDTA(self.dim, self.num_heads, self.use_bias, name="mixer", **kw)(
             LayerNorm(self.ln_type, param_dtype=self.param_dtype, name="norms_0")(x))
         x = x + GDFN(self.dim, self.expansion, self.use_bias, name="ffn", **kw)(
@@ -294,6 +321,66 @@ class DecoderBlock(nn.Module):
         x = x + GDFN(self.dim, self.expansion, self.use_bias, name="ffn", **kw)(
             LayerNorm(self.ln_type, param_dtype=self.param_dtype, name="norms_1")(x))
         return x, aux
+
+
+class _EncScanCell(nn.Module):
+    """nn.scan body over a level's identical EncoderBlocks (stacked params,
+    block body compiled once per level — the Restormer scan_blocks trick)."""
+
+    dim: int
+    num_heads: int
+    expansion: float
+    ln_type: str
+    fused_block: bool
+    w_real: int | None
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, x, _):
+        blk = EncoderBlock(self.dim, self.num_heads, self.expansion, True,
+                           self.ln_type, fused_block=self.fused_block,
+                           dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="block")
+        out = blk(x, w_real=self.w_real) if self.fused_block else blk(x)
+        return out, None
+
+
+class _DecScanCell(nn.Module):
+    """nn.scan body over a level's DecoderBlocks; freq_emb rides the carry
+    (constant), the MoE aux loss accumulates in it."""
+
+    dim: int
+    num_heads: int
+    expansion: float
+    use_bias: bool
+    ln_type: str
+    rank: int
+    num_experts: int
+    top_k: int
+    stage_depth: int
+    depth_type: Any
+    rank_type: str
+    freq_dim: int
+    with_complexity: bool
+    complexity_scale: str
+    train: bool
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, aux_total, freq_emb = carry
+        blk = DecoderBlock(
+            self.dim, self.num_heads, self.expansion, self.use_bias,
+            self.ln_type, rank=self.rank, num_experts=self.num_experts,
+            top_k=self.top_k, stage_depth=self.stage_depth,
+            depth_type=self.depth_type, rank_type=self.rank_type,
+            freq_dim=self.freq_dim, with_complexity=self.with_complexity,
+            complexity_scale=self.complexity_scale, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="block")
+        x, aux = blk(x, freq_emb, train=self.train)
+        return (x, aux_total + aux, freq_emb), None
 
 
 class FrequencyEmbedding(nn.Module):
@@ -350,8 +437,42 @@ class MoCEIR(nn.Module):
     topk: int = 2
     with_complexity: bool = False
     complexity_scale: str = "max"
+    fused_block: bool = False  # whole-block Pallas canvas kernel for the
+    # MDTA+GDFN encoder/latent/refinement stacks (kernels/block_pallas.py)
+    scan_blocks: bool = False  # nn.scan per homogeneous stack (fast compile)
     dtype: Any = None
     param_dtype: Any = jnp.float32
+
+    def _run_enc(self, x, dim, heads, n, prefix):
+        """One encoder/latent/refinement stack at a fixed resolution, with
+        the same canvas/scan fast paths as Restormer._run_level."""
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        w = x.shape[2]
+        if self.fused_block:
+            from image_restoration_tpu.kernels.block_pallas import (
+                canvas_pad, canvas_unpad,
+            )
+
+            c = x.shape[-1]
+            x = canvas_pad(x)
+        if self.scan_blocks:
+            cell = nn.scan(
+                _EncScanCell, variable_axes={"params": 0},
+                split_rngs={"params": True}, length=n,
+            )(dim, heads, self.ffn_expansion_factor, self.ln_type,
+              self.fused_block, w if self.fused_block else None,
+              self.dtype, self.param_dtype, name=f"{prefix}scan")
+            x, _ = cell(x, None)
+        else:
+            for b in range(n):
+                blk = EncoderBlock(dim, heads, self.ffn_expansion_factor,
+                                   True, self.ln_type,
+                                   fused_block=self.fused_block,
+                                   name=f"{prefix}{b}", **kw)
+                x = blk(x, w_real=w) if self.fused_block else blk(x)
+        if self.fused_block:
+            x = canvas_unpad(x, w, c)
+        return x
 
     @nn.compact
     def __call__(self, img, train: bool = False):
@@ -368,16 +489,13 @@ class MoCEIR(nn.Module):
 
         enc_feats = []
         for i in range(self.levels - 1):
-            for b in range(self.num_blocks[i]):
-                feats = EncoderBlock(dims[i], self.heads[i], self.ffn_expansion_factor,
-                                     True, self.ln_type, name=f"enc_{i}_0_{b}",
-                                     **kw)(feats)
+            feats = self._run_enc(feats, dims[i], self.heads[i],
+                                  self.num_blocks[i], f"enc_{i}_0_")
             enc_feats.append(feats)
             feats = Downsample(dims[i], name=f"enc_{i}_1", **kw)(feats)
 
-        for b in range(self.num_blocks[-1]):
-            feats = EncoderBlock(dims[-1], self.heads[-1], self.ffn_expansion_factor,
-                                 True, self.ln_type, name=f"latent_{b}", **kw)(feats)
+        feats = self._run_enc(feats, dims[-1], self.heads[-1],
+                              self.num_blocks[-1], "latent_")
         freq_emb = FrequencyEmbedding(dims[-1], name="freq_embed", **kw)(feats)
 
         rdims = dims[::-1]
@@ -389,22 +507,34 @@ class MoCEIR(nn.Module):
             feats = jnp.concatenate([feats, enc_feats.pop()], axis=-1)
             feats = Conv(rdims[i + 1], 1, use_bias=self.use_bias,
                          name=f"dec_{i}_1", **kw)(feats)
-            for b in range(rdec[i]):
-                feats, aux = DecoderBlock(
-                    rdims[i + 1], rheads[i + 1], self.ffn_expansion_factor,
-                    self.use_bias, self.ln_type, rank=self.rank,
-                    num_experts=self.num_experts, top_k=self.topk,
-                    stage_depth=self.stage_depth[i], depth_type=self.depth_type,
-                    rank_type=self.rank_type, freq_dim=rdims[0],
-                    with_complexity=self.with_complexity,
-                    complexity_scale=self.complexity_scale,
-                    name=f"dec_{i}_2_{b}", **kw)(feats, freq_emb, train=train)
+            dec_cfg = dict(
+                rank=self.rank, num_experts=self.num_experts, top_k=self.topk,
+                stage_depth=self.stage_depth[i], depth_type=self.depth_type,
+                rank_type=self.rank_type, freq_dim=rdims[0],
+                with_complexity=self.with_complexity,
+                complexity_scale=self.complexity_scale)
+            if self.scan_blocks:
+                cell = nn.scan(
+                    _DecScanCell, variable_axes={"params": 0},
+                    split_rngs={"params": True, "moe": True}, length=rdec[i],
+                )(rdims[i + 1], rheads[i + 1], self.ffn_expansion_factor,
+                  self.use_bias, self.ln_type, train=train,
+                  dtype=self.dtype, param_dtype=self.param_dtype,
+                  name=f"dec_{i}_2_scan", **dec_cfg)
+                (feats, aux, _), _ = cell(
+                    (feats, jnp.zeros((), jnp.float32), freq_emb), None)
                 total_aux = total_aux + aux
+            else:
+                for b in range(rdec[i]):
+                    feats, aux = DecoderBlock(
+                        rdims[i + 1], rheads[i + 1], self.ffn_expansion_factor,
+                        self.use_bias, self.ln_type,
+                        name=f"dec_{i}_2_{b}", **dec_cfg, **kw)(
+                            feats, freq_emb, train=train)
+                    total_aux = total_aux + aux
 
-        for b in range(self.num_refinement_blocks):
-            feats = EncoderBlock(d, self.heads[0], self.ffn_expansion_factor,
-                                 True, self.ln_type,
-                                 name=f"refinement_{b}", **kw)(feats)
+        feats = self._run_enc(feats, d, self.heads[0],
+                              self.num_refinement_blocks, "refinement_")
         out = Conv(self.out_channels, 3, padding=1, use_bias=self.use_bias,
                    name="output", **kw)(feats)
         out = (out + x).astype(jnp.float32)[:, :H, :W, :]
@@ -412,6 +542,27 @@ class MoCEIR(nn.Module):
         if train:
             return out, {"aux_loss": aux_total}
         return out
+
+
+def moce_to_scan_params(params, levels=3, num_blocks=(1, 2, 3),
+                        num_dec_blocks=(2, 4), num_refinement_blocks=1):
+    """Convert a loop-layout MoCEIR param tree (enc_0_0_0, dec_0_2_1, ...) to
+    the scan layout (enc_0_0_scan.block stacked on axis 0). Use after torch
+    checkpoint import to run ``scan_blocks=True`` (the Restormer
+    to_scan_params analog)."""
+    import jax
+
+    out = dict(params)
+    groups = [(f"enc_{i}_0_", num_blocks[i]) for i in range(levels - 1)]
+    groups += [("latent_", num_blocks[-1]),
+               ("refinement_", num_refinement_blocks)]
+    rdec = list(num_dec_blocks)[::-1]
+    groups += [(f"dec_{i}_2_", rdec[i]) for i in range(levels - 1)]
+    for prefix, n in groups:
+        stack = [out.pop(f"{prefix}{b}") for b in range(n)]
+        out[f"{prefix}scan"] = {
+            "block": jax.tree.map(lambda *ls: jnp.stack(ls, 0), *stack)}
+    return out
 
 
 def moce_key_map(key: str):

@@ -177,23 +177,33 @@ class CloudLog:
     """Fire-and-forget HTTP log sender (SRConvNet custom/serverLog.py:10-36
     LogClass analog, gated by the train CLI's --cloudlog flag).
 
-    Posts `name`/`content` as URL-quoted query params to `url` on a daemon
-    thread; network failures are swallowed (the reference prints and
+    Posts `name`/`content` as URL-quoted query params to `url` from a single
+    daemon worker draining a bounded queue (a slow endpoint can neither pile
+    up threads nor serialize the training loop; overflow drops the oldest
+    pending entry). Network failures are swallowed (the reference prints and
     continues). Off (or an empty url) makes sendLog a no-op — the default in
     this zero-egress environment.
     """
 
-    def __init__(self, on: bool = False, url: str = "", timeout: float = 5.0):
+    def __init__(self, on: bool = False, url: str = "", timeout: float = 5.0,
+                 max_pending: int = 64):
         self.on = on and bool(url)
         self.url = url
         self.timeout = timeout
-        self._lock = __import__("threading").Lock()
+        self._q = None
+        if self.on:
+            import queue
+            import threading
 
-    def _send(self, content: str, name: str) -> None:
+            self._q = queue.Queue(maxsize=max_pending)
+            threading.Thread(target=self._worker, daemon=True).start()
+
+    def _worker(self) -> None:
         from urllib.parse import quote
         from urllib.request import urlopen
 
-        with self._lock:
+        while True:
+            content, name = self._q.get()
             try:
                 sep = "&" if "?" in self.url else "?"
                 full = (f"{self.url}{sep}name={quote(name, 'utf-8')}"
@@ -205,7 +215,16 @@ class CloudLog:
     def sendLog(self, content: str, name: str) -> None:
         if not self.on:
             return
-        import threading
+        import queue
 
-        threading.Thread(target=self._send, args=(content, name),
-                         daemon=True).start()
+        try:
+            self._q.put_nowait((content, name))
+        except queue.Full:  # drop the oldest, keep the newest
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                pass
+            try:
+                self._q.put_nowait((content, name))
+            except queue.Full:
+                pass

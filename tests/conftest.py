@@ -8,17 +8,24 @@ v5e-8 unchanged.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# IR_TPU_TESTS=1 opts a session out of CPU-pinning so `-m tpu` kernel tests
+# can run on the real chip (tests/test_tpu_kernels.py); everything else
+# always runs on the virtual 8-device CPU mesh.
+ON_TPU_SESSION = os.environ.get("IR_TPU_TESTS") == "1"
+
+if not ON_TPU_SESSION:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-# The image ships a site config that pins jax_platforms="axon,cpu" (the real
-# TPU tunnel), overriding the env var — force pure-CPU for the test mesh.
-jax.config.update("jax_platforms", "cpu")
+if not ON_TPU_SESSION:
+    # The image ships a site config that pins jax_platforms="axon,cpu" (the
+    # real TPU tunnel), overriding the env var — force pure-CPU for the mesh.
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

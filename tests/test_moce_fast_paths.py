@@ -1,0 +1,68 @@
+"""MoCE-IR TPU fast paths: scan_blocks (nn.scan stacks) and fused_block
+(whole-block canvas kernel — reference-composition fallback on CPU) must
+match the plain loop layout numerically."""
+
+import numpy as np
+import pytest
+
+
+def _tiny(**kw):
+    from image_restoration_tpu.models.moce_ir import MoCEIR
+
+    return MoCEIR(dim=8, levels=3, heads=(2, 4, 8), num_blocks=(1, 2, 2),
+                  num_dec_blocks=(1, 2), num_refinement_blocks=2, rank=2,
+                  num_experts=4, topk=2, stage_depth=(1, 1), **kw)
+
+
+@pytest.fixture(scope="module")
+def loop_setup():
+    import jax
+    import jax.numpy as jnp
+
+    model = _tiny()
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 16, 3),
+                           jnp.float32, 0.2, 0.8)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x)
+    return x, params, np.asarray(ref)
+
+
+def test_scan_blocks_matches_loop(loop_setup):
+    from image_restoration_tpu.models.moce_ir import moce_to_scan_params
+
+    x, params, ref = loop_setup
+    model = _tiny(scan_blocks=True)
+    sp = moce_to_scan_params(params, levels=3, num_blocks=(1, 2, 2),
+                             num_dec_blocks=(1, 2), num_refinement_blocks=2)
+    got = np.asarray(model.apply({"params": sp}, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_block_fallback_matches_loop(loop_setup):
+    """On the CPU mesh fused_block lowers to the reference composition, so
+    this validates the canvas plumbing + param twins, not TPU numerics
+    (those live in test_tpu_kernels.py)."""
+    x, params, ref = loop_setup
+    model = _tiny(fused_block=True)
+    got = np.asarray(model.apply({"params": params}, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_scan_blocks_trains(loop_setup):
+    import jax
+    import jax.numpy as jnp
+
+    x, params, ref = loop_setup
+    model = _tiny(scan_blocks=True)
+    sp = model.init({"params": jax.random.PRNGKey(0),
+                     "moe": jax.random.PRNGKey(1)}, x, train=True)["params"]
+
+    def loss(p):
+        out, aux = model.apply({"params": p}, x, train=True,
+                               rngs={"moe": jax.random.PRNGKey(2)})
+        return jnp.mean(jnp.abs(out)) + 0.01 * aux["aux_loss"]
+
+    val, grads = jax.value_and_grad(loss)(sp)
+    assert np.isfinite(float(val))
+    gmax = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gmax) and gmax > 0

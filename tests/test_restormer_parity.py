@@ -69,6 +69,37 @@ def test_forward_parity(ref_mod, ln_type, bias, rng):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_fullsize_forward_parity(ref_mod, rng):
+    """VERDICT r1 item 8: the REAL Restormer-base config (dim=48, blocks
+    4/6/6/8, heads 1/2/4/8) at a small spatial size — catches dim/head/
+    padding bugs the dim=8 tiny configs cannot (e.g. head-split reshapes
+    that only misalign at non-trivial head counts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.models.restormer import Restormer
+    from image_restoration_tpu.utils.torch_import import import_state_dict
+
+    torch.manual_seed(1)
+    full = dict(dim=48, num_blocks=[4, 6, 6, 8], num_refinement_blocks=4,
+                heads=[1, 2, 4, 8], ffn_expansion_factor=2.66)
+    tnet = ref_mod.Restormer(bias=False, LayerNorm_type="WithBias",
+                             **full).eval()
+    jnet = Restormer(dim=48, num_blocks=(4, 6, 6, 8),
+                     num_refinement_blocks=4, heads=(1, 2, 4, 8),
+                     ffn_expansion_factor=2.66, use_bias=False,
+                     ln_type="WithBias")
+    x0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = jnet.init(jax.random.PRNGKey(0), x0)["params"]
+    params = import_state_dict(params, _export(tnet))
+    x = rng.standard_normal((1, 3, 32, 32), dtype=np.float32) * 0.5 + 0.5
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x)).numpy()
+    got = jnet.apply({"params": params}, jnp.asarray(nchw_to_nhwc(x)))
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
 def test_dual_pixel_parity(ref_mod, rng):
     import jax.numpy as jnp
 

@@ -41,10 +41,6 @@ def time_stage(name, mod, shape, chain=8, dtype=jnp.bfloat16):
     return best
 
 
-class Stack(TransformerBlock.__bases__[0] if False else object):
-    pass
-
-
 import flax.linen as nn
 
 
