@@ -12,25 +12,13 @@ import jax.numpy as jnp
 from image_restoration_tpu.models.restormer import Restormer
 
 
-def run(tag, **flags):
-    size, batch, chain = 512, 1, 16
+def run(tag, batch=1, size=512, chain=16, **flags):
+    import bench
+
     model = Restormer(dtype=jnp.bfloat16, **flags)
-    x = jnp.full((batch, size, size, 3), 0.5, jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x)
-
-    @jax.jit
-    def fwd_chain(v, inp):
-        def body(_, acc):
-            return model.apply(v, acc * 0.999)
-
-        return jnp.sum(jax.lax.fori_loop(0, chain, body, inp))
-
-    float(fwd_chain(params, x))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(fwd_chain(params, x))
-        best = min(best, (time.perf_counter() - t0) / chain)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (batch, size, size, 3),
+                           jnp.float32, 0.2, 0.8)
+    best = bench._bench_model(model, x, chain)  # eval_shape fill, NaN guard
     mps = batch * size * size / best / 1e6
     print(f"{tag:28s} {best*1e3:7.2f} ms/img  {mps:6.3f} MP/s")
 
@@ -46,3 +34,9 @@ if __name__ == "__main__":
         run("plain XLA + scan", scan_blocks=True)
     if which == "unrolled":
         run("fused_block unrolled", fused_block=True)
+    if which == "batch":
+        # throughput metric is MP/s/chip: batch>1 amortizes per-level
+        # canvas pad/unpad + resample round trips and fills the MXU better
+        for b in (1, 2, 4):
+            run(f"fused_block+scan b={b}", batch=b, chain=max(16 // b, 4),
+                fused_block=True, scan_blocks=True)
