@@ -229,6 +229,8 @@ class LSNet(nn.Module):
     depth: Sequence[int] = (1, 2, 3, 4)
     num_heads: Sequence[int] = (4, 4, 4, 4)
     use_pallas_ska: bool = False
+    features: bool = False  # return the 4 stage maps (strides 8/16/32/64)
+    # instead of logits — the mmdet/mmseg backbone mode (out_indices=(0,1,2,3))
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -245,6 +247,7 @@ class LSNet(nn.Module):
 
         resolution = self.img_size // self.patch_size
         ar = [ed[i] / (self.key_dim[i] * self.num_heads[i]) for i in range(4)]
+        stage_feats = []
         for i in range(4):
             off = 0
             if i > 0:  # downsample pair prepended to this stage's Sequential
@@ -258,6 +261,9 @@ class LSNet(nn.Module):
                             resolution, stage=i, depth_idx=d,
                             use_pallas_ska=self.use_pallas_ska,
                             name=f"blocks{i+1}_{off + d}", **kw)(x, train)
+            stage_feats.append(x)
+        if self.features:
+            return stage_feats
 
         x = jnp.mean(x, axis=(1, 2))
         if self.num_classes > 0:

@@ -15,6 +15,7 @@ _MODEL_MODULES = (
     "cg_ir", "igmoce_ir", "measnet", "mwformer", "lsnet",
     "lumisense_moe", "adaptir_ipt", "adaptir_edt", "vig", "moce_ir_patch",
     "demo_models", "rectiformer", "fpn_restormer", "mymodel", "vig_h",
+    "lsnet_dense",
 )
 
 

@@ -55,6 +55,9 @@ MODEL_DEFAULTS: Dict[str, Dict[str, Any]] = {
     "mwformer": dict(),
     # LSNet-T (lsnet.py:231; s/b variants via --set model_kwargs.*)
     "lsnet": dict(embed_dim=[64, 128, 192, 256], depth=[1, 2, 3, 4]),
+    # dense-prediction engines (retinanet_lsnet_t_fpn / fpn_lsnet configs)
+    "retinanet_lsnet": dict(num_classes=80),
+    "semanticfpn_lsnet": dict(num_classes=150),
     # remaining registry entries keep their flax-field defaults, which
     # already mirror the reference configs; listed so --model help is total
     "lumisense_moe": dict(),
