@@ -209,6 +209,14 @@ class AdapterLayer(nn.Module):
     freq_dim: int = 128
     with_complexity: bool = False
     complexity_scale: str = "max"
+    switched_eval: bool = True
+    # top-1 batch-1 eval runs only the SELECTED expert via nn.switch
+    # (identical math: unselected gates are exactly 0 in the dense combine)
+    # — E x less expert compute on the serving path (the big MoCE-IR config
+    # routes top-1, options.py:69-84). Training stays dense (gradients +
+    # aux losses need every expert's zero-gate path); top-k>1 stays dense
+    # (k switch calls over shared submodules would need one fused branch
+    # set per selection).
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -226,13 +234,23 @@ class AdapterLayer(nn.Module):
             self.with_complexity, dtype=self.dtype, param_dtype=self.param_dtype,
             name="routing")(x, freq_emb, train=train)
 
-        outs = [
+        experts = [
             ModExpert(self.dim, rank=r, patch_size=p, kernel_size=k, depth=d,
                       dtype=self.dtype, param_dtype=self.param_dtype,
-                      name=f"experts_{i}_0")(x, shared)
+                      name=f"experts_{i}_0")
             for i, (r, p, k, d) in enumerate(zip(ranks, patches, kernels, depths))
         ]
-        out = dense_moe_combine(gates, outs)
+        use_switch = (self.switched_eval and not train and x.shape[0] == 1
+                      and self.top_k == 1 and self.num_experts > 1)
+        if use_switch:
+            branches = [
+                (lambda e: lambda mdl, x_, s_: e(x_, s_))(e) for e in experts
+            ]
+            o = nn.switch(top_idx[0, 0], branches, self, x, shared)
+            out = top_vals[0, 0].astype(o.dtype) * o
+        else:
+            outs = [e(x, shared) for e in experts]
+            out = dense_moe_combine(gates, outs)
         out = Conv(self.dim, 1, use_bias=False, dtype=self.dtype,
                    param_dtype=self.param_dtype, name="proj_out")(out)
         return out, aux
@@ -301,6 +319,7 @@ class DecoderBlock(nn.Module):
     freq_dim: int = 128
     with_complexity: bool = False
     complexity_scale: str = "max"
+    switched_eval: bool = True
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -315,7 +334,8 @@ class DecoderBlock(nn.Module):
         x_a, aux = AdapterLayer(
             self.dim, self.rank, self.num_experts, self.top_k, self.stage_depth,
             self.depth_type, self.rank_type, self.freq_dim, self.with_complexity,
-            self.complexity_scale, name="adapter", **kw)(x_a, freq_emb, x_s, train=train)
+            self.complexity_scale, switched_eval=self.switched_eval,
+            name="adapter", **kw)(x_a, freq_emb, x_s, train=train)
         x = ChannelCrossAttention(self.dim, self.num_heads, self.use_bias,
                                   kv_kernel=7, name="mixer", **kw)(x_a, x_s) + shortcut
         x = x + GDFN(self.dim, self.expansion, self.use_bias, name="ffn", **kw)(
@@ -364,6 +384,7 @@ class _DecScanCell(nn.Module):
     freq_dim: int
     with_complexity: bool
     complexity_scale: str
+    switched_eval: bool
     train: bool
     dtype: Any
     param_dtype: Any
@@ -377,7 +398,8 @@ class _DecScanCell(nn.Module):
             top_k=self.top_k, stage_depth=self.stage_depth,
             depth_type=self.depth_type, rank_type=self.rank_type,
             freq_dim=self.freq_dim, with_complexity=self.with_complexity,
-            complexity_scale=self.complexity_scale, dtype=self.dtype,
+            complexity_scale=self.complexity_scale,
+            switched_eval=self.switched_eval, dtype=self.dtype,
             param_dtype=self.param_dtype, name="block")
         x, aux = blk(x, freq_emb, train=self.train)
         return (x, aux_total + aux, freq_emb), None
@@ -437,6 +459,7 @@ class MoCEIR(nn.Module):
     topk: int = 2
     with_complexity: bool = False
     complexity_scale: str = "max"
+    switched_eval: bool = True  # top-1 batch-1 eval via nn.switch (see AdapterLayer)
     fused_block: bool = False  # whole-block Pallas canvas kernel for the
     # MDTA+GDFN encoder/latent/refinement stacks (kernels/block_pallas.py)
     scan_blocks: bool = False  # nn.scan per homogeneous stack (fast compile)
@@ -512,7 +535,8 @@ class MoCEIR(nn.Module):
                 stage_depth=self.stage_depth[i], depth_type=self.depth_type,
                 rank_type=self.rank_type, freq_dim=rdims[0],
                 with_complexity=self.with_complexity,
-                complexity_scale=self.complexity_scale)
+                complexity_scale=self.complexity_scale,
+                switched_eval=self.switched_eval)
             if self.scan_blocks:
                 cell = nn.scan(
                     _DecScanCell, variable_axes={"params": 0},

@@ -10,10 +10,13 @@ and fp16 FFts (kept fp32 here regardless of the surrounding policy).
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from image_restoration_tpu.ops.common import Conv, gelu_exact
 
@@ -21,6 +24,61 @@ from image_restoration_tpu.ops.common import Conv, gelu_exact
 def rfft2(x, norm: str = "backward"):
     """NHWC rfft over (H, W) in fp32. Returns complex64 (B, H, W//2+1, C)."""
     return jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm=norm)
+
+
+# --- matmul-DFT: XLA's TPU FFT lowering is ~3x slower than doing the same
+# transform as MXU matmuls at the shapes these nets use (measured r2:
+# rfft2+irfft2 at (1,512,512,64) = 9.4 ms vs 3.2 ms as einsums). The
+# matrices are built from numpy FFTs of identity bases, so semantics match
+# numpy/jnp exactly up to matmul precision.
+
+@functools.lru_cache(maxsize=None)
+def _rfft_basis(n: int):
+    m = np.fft.rfft(np.eye(n), norm="ortho")            # (n, n//2+1)
+    return m.real.astype(np.float32), m.imag.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _irfft_basis(n: int):
+    f = n // 2 + 1
+    eye = np.eye(f)
+    mr = np.fft.irfft(eye, n=n, norm="ortho")           # (f, n)
+    mi = np.fft.irfft(1j * eye, n=n, norm="ortho")
+    return mr.astype(np.float32), mi.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _fft_basis(n: int, inverse: bool = False):
+    fn = np.fft.ifft if inverse else np.fft.fft
+    m = fn(np.eye(n), norm="ortho")                     # (k, h): fn(e_k)[h]
+    return m.real.astype(np.float32), m.imag.astype(np.float32)
+
+
+def rfft2_matmul(x, precision=jax.lax.Precision.HIGH):
+    """ortho-normalized rfft2 over NHWC (H, W) as 6 real einsums.
+    Returns (real, imag), each (B, H, W//2+1, C) fp32."""
+    x = x.astype(jnp.float32)
+    wr, wi = map(jnp.asarray, _rfft_basis(x.shape[2]))
+    ar = jnp.einsum("bhwc,wf->bhfc", x, wr, precision=precision)
+    ai = jnp.einsum("bhwc,wf->bhfc", x, wi, precision=precision)
+    hr, hi = map(jnp.asarray, _fft_basis(x.shape[1]))
+    zr = (jnp.einsum("kh,bkfc->bhfc", hr, ar, precision=precision)
+          - jnp.einsum("kh,bkfc->bhfc", hi, ai, precision=precision))
+    zi = (jnp.einsum("kh,bkfc->bhfc", hr, ai, precision=precision)
+          + jnp.einsum("kh,bkfc->bhfc", hi, ar, precision=precision))
+    return zr, zi
+
+
+def irfft2_matmul(zr, zi, w_out: int, precision=jax.lax.Precision.HIGH):
+    """ortho irfft2 inverse of rfft2_matmul. Returns (B, H, w_out, C) fp32."""
+    hr, hi = map(jnp.asarray, _fft_basis(zr.shape[1], inverse=True))
+    ar = (jnp.einsum("kh,bkfc->bhfc", hr, zr, precision=precision)
+          - jnp.einsum("kh,bkfc->bhfc", hi, zi, precision=precision))
+    ai = (jnp.einsum("kh,bkfc->bhfc", hr, zi, precision=precision)
+          + jnp.einsum("kh,bkfc->bhfc", hi, zr, precision=precision))
+    rr, ri = map(jnp.asarray, _irfft_basis(w_out))
+    return (jnp.einsum("bhfc,fw->bhwc", ar, rr, precision=precision)
+            + jnp.einsum("bhfc,fw->bhwc", ai, ri, precision=precision))
 
 
 def irfft2(z, s, norm: str = "backward", dtype=None):
@@ -45,21 +103,36 @@ def channels_to_complex(x):
 
 class FourierUnit(nn.Module):
     """SRConvNet FourierUnit (m_block.py:44-69): ortho rfft2 -> 1x1 conv on
-    interleaved real/imag channels -> GELU -> ortho irfft2."""
+    interleaved real/imag channels -> GELU -> ortho irfft2.
+
+    ``use_matmul_dft``: None = auto (on for TPU backends); the transform runs
+    as MXU einsums (Precision.HIGH) instead of the FFT op — same math, ~3x
+    faster at serving shapes (see rfft2_matmul)."""
 
     dim: int
     groups: int = 1
+    use_matmul_dft: bool | None = None
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[1:3]
-        z = rfft2(x, norm="ortho")
-        f = complex_to_channels(z)
+        matmul = self.use_matmul_dft
+        if matmul is None:
+            matmul = jax.default_backend() == "tpu"
+        if matmul:
+            zr, zi = rfft2_matmul(x)
+            f = jnp.stack([zr, zi], axis=-1).reshape(*zr.shape[:-1], -1)
+        else:
+            z = rfft2(x, norm="ortho")
+            f = complex_to_channels(z)
         f = Conv(self.dim * 2, 1, groups=self.groups, use_bias=False,
                  dtype=jnp.float32, param_dtype=self.param_dtype, name="conv_layer")(f)
         f = gelu_exact(f)
+        if matmul:
+            st = f.reshape(*f.shape[:-1], self.dim, 2)
+            return irfft2_matmul(st[..., 0], st[..., 1], w).astype(x.dtype)
         z = channels_to_complex(f)
         return irfft2(z, (h, w), norm="ortho", dtype=x.dtype)
 

@@ -9,9 +9,11 @@ import pytest
 def _tiny(**kw):
     from image_restoration_tpu.models.moce_ir import MoCEIR
 
-    return MoCEIR(dim=8, levels=3, heads=(2, 4, 8), num_blocks=(1, 2, 2),
-                  num_dec_blocks=(1, 2), num_refinement_blocks=2, rank=2,
-                  num_experts=4, topk=2, stage_depth=(1, 1), **kw)
+    cfg = dict(dim=8, levels=3, heads=(2, 4, 8), num_blocks=(1, 2, 2),
+               num_dec_blocks=(1, 2), num_refinement_blocks=2, rank=2,
+               num_experts=4, topk=2, stage_depth=(1, 1))
+    cfg.update(kw)
+    return MoCEIR(**cfg)
 
 
 @pytest.fixture(scope="module")
@@ -46,6 +48,25 @@ def test_fused_block_fallback_matches_loop(loop_setup):
     model = _tiny(fused_block=True)
     got = np.asarray(model.apply({"params": params}, x))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_switched_eval_matches_dense():
+    """Top-1 batch-1 eval via nn.switch over the selected expert is the same
+    math as the dense combine (unselected gates are exactly 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    switched = _tiny(topk=1)
+    dense = _tiny(topk=1, switched_eval=False)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 16, 16, 3),
+                           jnp.float32, 0.2, 0.8)
+    params = dense.init(jax.random.PRNGKey(0), x)["params"]
+    a = np.asarray(dense.apply({"params": params}, x))
+    b = np.asarray(switched.apply({"params": params}, x))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    # same param tree either way
+    p2 = switched.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree.structure(p2) == jax.tree.structure(params)
 
 
 def test_scan_blocks_trains(loop_setup):
