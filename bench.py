@@ -150,8 +150,13 @@ def main(argv=None):
         results[name] = round(size * size / secs / 1e6, 3)
 
     if models != ["restormer"]:
-        with open(os.path.join(REPO, "BENCH_secondary.json"), "w") as f:
-            json.dump({f"{k}512_mps": v for k, v in results.items()}, f)
+        sec_path = os.path.join(REPO, "BENCH_secondary.json")
+        merged = {}
+        if os.path.exists(sec_path):  # keep other models' entries
+            merged = json.load(open(sec_path))
+        merged.update({f"{k}512_mps": v for k, v in results.items()})
+        with open(sec_path, "w") as f:
+            json.dump(merged, f)
 
     line = None
     if "restormer" in results:

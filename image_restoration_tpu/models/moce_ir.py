@@ -56,11 +56,18 @@ class FFTAttention(nn.Module):
     dim: int
     kernel_size: int = 7
     patch_size: int = 8
+    use_matmul_dft: bool | None = None  # None = auto (on for TPU): tiny
+    # batched patch FFTs lower poorly on TPU; as MXU einsums the same
+    # transform is several x faster (see ops/fft.rfft2_matmul)
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        import jax as _jax
+
+        from image_restoration_tpu.ops.fft import irfft2_matmul, rfft2_matmul
+
         b, h, w, c = x.shape
         p = self.patch_size
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -79,9 +86,27 @@ class FFTAttention(nn.Module):
             t = t.reshape(b, hp // p, p, wp // p, p, c)
             return t.transpose(0, 1, 3, 2, 4, 5)  # (b, nh, nw, p, p, c)
 
-        qf = jnp.fft.rfft2(patchify(q).astype(jnp.float32), axes=(3, 4))
-        kf = jnp.fft.rfft2(patchify(k).astype(jnp.float32), axes=(3, 4))
-        out = jnp.fft.irfft2(qf * kf, s=(p, p), axes=(3, 4))
+        matmul = self.use_matmul_dft
+        if matmul is None:
+            matmul = _jax.default_backend() == "tpu"
+        if matmul:
+            n_patches = (hp // p) * (wp // p)
+            qp = patchify(q).reshape(b * n_patches, p, p, c)
+            kp = patchify(k).reshape(b * n_patches, p, p, c)
+            # rfft2 'backward' norm == ortho-fwd x sqrt(p*p); the q*k product
+            # then differs by p*p, and irfft-'backward' divides it out again:
+            # ortho-ortho-ortho reproduces backward-backward-backward exactly
+            # up to the sqrt(p*p) factor applied once below.
+            qr, qi = rfft2_matmul(qp)
+            kr, ki = rfft2_matmul(kp)
+            pr = qr * kr - qi * ki
+            pi = qr * ki + qi * kr
+            outp = irfft2_matmul(pr, pi, p) * float(p)
+            out = outp.reshape(b, hp // p, wp // p, p, p, c)
+        else:
+            qf = jnp.fft.rfft2(patchify(q).astype(jnp.float32), axes=(3, 4))
+            kf = jnp.fft.rfft2(patchify(k).astype(jnp.float32), axes=(3, 4))
+            out = jnp.fft.irfft2(qf * kf, s=(p, p), axes=(3, 4))
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)[:, :h, :w, :]
         out = out.astype(x.dtype)
         out = LayerNorm("WithBias", param_dtype=self.param_dtype, name="norm")(out)

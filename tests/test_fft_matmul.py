@@ -61,3 +61,21 @@ def test_fourier_unit_grad_finite(rng):
     g = jax.grad(lambda p: jnp.sum(unit.apply(p, x) ** 2))(params)
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+@pytest.mark.parametrize("p,hw", [(4, (12, 12)), (8, (16, 20))])
+def test_fft_attention_paths_match(rng, p, hw):
+    """MoCE FFTAttention: the patchified matmul-DFT path (with its
+    backward-vs-ortho sqrt(N) correction) must match the FFT-op path."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.models.moce_ir import FFTAttention
+
+    x = jnp.asarray(rng.standard_normal((2, *hw, 6), dtype=np.float32))
+    fft_a = FFTAttention(6, patch_size=p, use_matmul_dft=False)
+    mm_a = FFTAttention(6, patch_size=p, use_matmul_dft=True)
+    params = fft_a.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(fft_a.apply(params, x))
+    b = np.asarray(mm_a.apply(params, x))
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
