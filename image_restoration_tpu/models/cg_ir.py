@@ -113,8 +113,10 @@ class CGDM(nn.Module):
         sp = Conv(d, 3, padding=1, groups=d, use_bias=True, name="spatial_conv_0", **kw)(x)
         sp = Conv(d, 1, use_bias=True, name="spatial_conv_2", **kw)(gelu_exact(sp))
 
-        z = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm="ortho")
-        f = jnp.concatenate([z.real, z.imag], axis=-1)  # (B,h,w2,2d) blocks
+        from image_restoration_tpu.ops.fft import irfft2_fast, rfft2_fast
+
+        zr, zi = rfft2_fast(x, norm="ortho")
+        f = jnp.concatenate([zr, zi], axis=-1)  # (B,h,w2,2d) blocks
         f = Conv(d * 2, 1, use_bias=True, dtype=jnp.float32,
                  param_dtype=self.param_dtype, name="freq_conv_0")(f)
         f = Conv(d * 2, 1, use_bias=True, dtype=jnp.float32,
@@ -124,8 +126,7 @@ class CGDM(nn.Module):
         scale = jax.nn.sigmoid(scale.astype(jnp.float32))[:, None, None, :]
         f = f * scale
         re, im = jnp.split(f, 2, axis=-1)
-        back = jnp.fft.irfft2(re + 1j * im, s=(h, w), axes=(1, 2), norm="ortho")
-        back = back.astype(x.dtype)
+        back = irfft2_fast(re, im, (h, w), norm="ortho", dtype=x.dtype)
         out = Conv(d, 1, use_bias=True, name="fusion", **kw)(
             jnp.concatenate([sp, back], axis=-1))
         return out + x

@@ -95,15 +95,17 @@ class FreMLPExp(nn.Module):
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[1:3]
-        z = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))
-        mag, pha = jnp.abs(z), jnp.angle(z)
+        from image_restoration_tpu.ops.fft import irfft2_fast, rfft2_fast
+
+        zr, zi = rfft2_fast(x, norm="backward")
+        mag, pha = jnp.sqrt(zr * zr + zi * zi), jnp.arctan2(zi, zr)
         m = Conv(self.dim * self.expansion, 1, use_bias=self.use_bias,
                  dtype=jnp.float32, param_dtype=self.param_dtype,
                  name="process1_0")(mag)
         m = Conv(self.dim, 1, use_bias=self.use_bias, dtype=jnp.float32,
                  param_dtype=self.param_dtype, name="process1_2")(nn.leaky_relu(m, 0.1))
-        z = m * jnp.cos(pha) + 1j * (m * jnp.sin(pha))
-        return jnp.fft.irfft2(z, s=(h, w), axes=(1, 2)).astype(x.dtype)
+        return irfft2_fast(m * jnp.cos(pha), m * jnp.sin(pha), (h, w),
+                           norm="backward", dtype=x.dtype)
 
 
 class SpAM(nn.Module):
@@ -218,10 +220,10 @@ class IGEncoderBlock(nn.Module):
         # spatial fusion
         f_s = jnp.concatenate([f_att + jax.nn.sigmoid(f_gate),
                                f_gate + jax.nn.sigmoid(f_att)], axis=-1)
-        # frequency fusion (fp32), tiled back to c channels
-        za = jnp.fft.rfft2(f_att.astype(jnp.float32), axes=(1, 2))
-        zg = jnp.fft.rfft2(f_gate.astype(jnp.float32), axes=(1, 2))
-        f_f = jnp.fft.irfft2(za + zg, s=(h, w), axes=(1, 2)).astype(x.dtype)
+        # "frequency fusion" (igmoce_ir.py:222-224) — irfft2(rfft2(a)+rfft2(b))
+        # is exactly a+b by linearity; the reference's FFT round-trip is a
+        # mathematical no-op, computed directly here (fp32 to match roundoff)
+        f_f = (f_att.astype(jnp.float32) + f_gate.astype(jnp.float32)).astype(x.dtype)
         f_f = jnp.tile(f_f, (1, 1, 1, 2))
         fuse = self.fusion_weight * f_s + (1 - self.fusion_weight) * f_f
         fuse = fuse * gamma.astype(x.dtype) + shortcut

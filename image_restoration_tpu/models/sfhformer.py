@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
 from image_restoration_tpu.ops.common import Conv, gelu_exact
-from image_restoration_tpu.ops.fft import channels_to_complex, complex_to_channels, irfft2, rfft2
+from image_restoration_tpu.ops.fft import irfft2_fast, rfft2_fast
 from image_restoration_tpu.ops.layernorm import BatchNorm2d
 from image_restoration_tpu.ops.resample import pixel_shuffle
 
@@ -77,8 +77,9 @@ class FourierUnitGrouped(nn.Module):
         c = self.channels
         h, w = x.shape[1:3]
         kw = dict(dtype=jnp.float32, param_dtype=self.param_dtype)
-        z = rfft2(x, norm="ortho")
-        f = complex_to_channels(z)  # (B, h, w2, 2c), (c, re/im) interleaved
+        zr, zi = rfft2_fast(x, norm="ortho")
+        # (B, h, w2, 2c), (c, re/im) interleaved — complex_to_channels layout
+        f = jnp.stack([zr, zi], axis=-1).reshape(*zr.shape[:-1], 2 * c)
         f = BatchNorm2d(param_dtype=self.param_dtype, name="bn")(f, train=train)
         f = f + Conv(2 * c, 3, padding=1, groups=2 * c, use_bias=True,
                      name="fpe", **kw)(f)
@@ -90,7 +91,9 @@ class FourierUnitGrouped(nn.Module):
         fd = fd.reshape(b, hh, ww, self.groups, 2 * c)
         f = jnp.einsum("bhwg,bhwgc->bhwc", dyw, fd)
         f = gelu_exact(f)
-        return irfft2(channels_to_complex(f), (h, w), norm="ortho", dtype=x.dtype)
+        st = f.reshape(*f.shape[:-1], c, 2)
+        return irfft2_fast(st[..., 0], st[..., 1], (h, w), norm="ortho",
+                           dtype=x.dtype)
 
 
 class GlobalMixer(nn.Module):

@@ -69,6 +69,35 @@ def rfft2_matmul(x, precision=jax.lax.Precision.HIGH):
     return zr, zi
 
 
+def rfft2_fast(x, norm: str = "backward"):
+    """rfft2 over NHWC (H, W) returning ``(real, imag)`` fp32 — matmul-DFT
+    on TPU backends, the FFT op elsewhere. Exact norm semantics."""
+    h, w = x.shape[1:3]
+    if jax.default_backend() == "tpu":
+        zr, zi = rfft2_matmul(x)
+        if norm == "backward":
+            s = float(np.sqrt(h * w))
+            return zr * s, zi * s
+        if norm == "forward":
+            s = 1.0 / float(np.sqrt(h * w))
+            return zr * s, zi * s
+        return zr, zi
+    z = rfft2(x, norm=norm)
+    return z.real, z.imag
+
+
+def irfft2_fast(zr, zi, s, norm: str = "backward", dtype=None):
+    """Inverse of rfft2_fast from (real, imag); ``s=(H, W)`` output size."""
+    if jax.default_backend() == "tpu":
+        out = irfft2_matmul(zr, zi, s[1])
+        if norm == "backward":
+            out = out / float(np.sqrt(s[0] * s[1]))
+        elif norm == "forward":
+            out = out * float(np.sqrt(s[0] * s[1]))
+        return out.astype(dtype) if dtype is not None else out
+    return irfft2(zr + 1j * zi, s, norm=norm, dtype=dtype)
+
+
 def irfft2_matmul(zr, zi, w_out: int, precision=jax.lax.Precision.HIGH):
     """ortho irfft2 inverse of rfft2_matmul. Returns (B, H, w_out, C) fp32."""
     hr, hi = map(jnp.asarray, _fft_basis(zr.shape[1], inverse=True))
@@ -149,13 +178,13 @@ class FreMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[1:3]
-        z = rfft2(x, norm="backward")
-        mag = jnp.abs(z)
-        pha = jnp.angle(z)
+        zr, zi = rfft2_fast(x, norm="backward")
+        mag = jnp.sqrt(zr * zr + zi * zi)
+        pha = jnp.arctan2(zi, zr)
         m = Conv(self.expand * self.nc, 1, use_bias=True, dtype=jnp.float32,
                  param_dtype=self.param_dtype, name="process1_0")(mag)
         m = nn.leaky_relu(m, 0.1)
         m = Conv(self.nc, 1, use_bias=True, dtype=jnp.float32,
                  param_dtype=self.param_dtype, name="process1_2")(m)
-        z = m * jnp.cos(pha) + 1j * (m * jnp.sin(pha))
-        return irfft2(z, (h, w), norm="backward", dtype=x.dtype)
+        return irfft2_fast(m * jnp.cos(pha), m * jnp.sin(pha), (h, w),
+                           norm="backward", dtype=x.dtype)
