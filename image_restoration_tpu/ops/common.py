@@ -47,6 +47,25 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
+        in_ch = x.shape[-1]
+        m = in_ch // max(self.groups, 1)
+        q = self.features // max(self.groups, 1)
+        if (self.groups >= 8 and 1 < m <= 4 and 1 <= q <= 4
+                and self.stride == 1 and not isinstance(self.padding, str)
+                and jax.default_backend() == "tpu"):
+            # Small-group grouped convs (e.g. DarkIR DBlock's extra_conv:
+            # 2-in/2-out per group, arch_model.py) are pathological on TPU —
+            # neither an MXU matmul nor a depthwise pattern (one such 512^2
+            # x64 call measured 60+ ms). Decompose exactly into m*q true
+            # depthwise convs over strided channel slices; identical params
+            # at the same 'conv' path.
+            kern, bias = _ConvLeaf(self.features, m, k, self.use_bias,
+                                   self.param_dtype, name="conv")()
+            dt = x.dtype if self.dtype is None else self.dtype
+            out = _small_group_conv(x.astype(dt), kern.astype(dt),
+                                    bias if bias is None else bias.astype(dt),
+                                    self.padding, self.groups)
+            return out
         if isinstance(self.padding, str):
             pad = self.padding
         else:
@@ -62,6 +81,33 @@ class Conv(nn.Module):
             param_dtype=self.param_dtype,
             name="conv",
         )(x)
+
+
+def _small_group_conv(x, kern, bias, padding: int, groups: int):
+    """Grouped conv with m=Cin/G in- and q=Cout/G out-channels per group as
+    m*q depthwise convs: out[..., g*q+j] = sum_i dw(x[..., g*m+i],
+    K[:,:,i,g*q+j]). Exact (same contraction, reassociated)."""
+    kh, kw_, m, cout = kern.shape
+    q = cout // groups
+    pad = [(padding, padding)] * 2
+    outs = []
+    for j in range(q):
+        acc = None
+        for i in range(m):
+            xi = x[..., i::m]                      # (B,H,W,G)
+            kij = kern[:, :, i, j::q][:, :, None, :]  # (kh,kw,1,G)
+            dn = jax.lax.conv_dimension_numbers(
+                xi.shape, kij.shape, ("NHWC", "HWIO", "NHWC"))
+            o = jax.lax.conv_general_dilated(
+                xi, kij, (1, 1), pad, dimension_numbers=dn,
+                feature_group_count=groups)
+            acc = o if acc is None else acc + o
+        outs.append(acc)
+    out = jnp.stack(outs, axis=-1)                 # (B,H,W,G,q)
+    out = out.reshape(*out.shape[:-2], cout)
+    if bias is not None:
+        out = out + bias
+    return out
 
 
 class _ConvLeaf(nn.Module):
