@@ -265,8 +265,12 @@ class AdapterLayer(nn.Module):
                       name=f"experts_{i}_0")
             for i, (r, p, k, d) in enumerate(zip(ranks, patches, kernels, depths))
         ]
+        # NB: never switch while initializing — flax's lifted switch creates
+        # branch params as tracers that leak into the returned variables
+        # (init must run every expert eagerly on the dense path instead).
         use_switch = (self.switched_eval and not train and x.shape[0] == 1
-                      and self.top_k == 1 and self.num_experts > 1)
+                      and self.top_k == 1 and self.num_experts > 1
+                      and not self.is_initializing())
         if use_switch:
             branches = [
                 (lambda e: lambda mdl, x_, s_: e(x_, s_))(e) for e in experts

@@ -64,9 +64,16 @@ def test_switched_eval_matches_dense():
     a = np.asarray(dense.apply({"params": params}, x))
     b = np.asarray(switched.apply({"params": params}, x))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
-    # same param tree either way
+    # same param tree either way — and init through the switched path must
+    # yield concrete arrays (flax's lifted switch leaks tracer params if any
+    # branch runs during initialization; AdapterLayer must init dense)
     p2 = switched.init(jax.random.PRNGKey(0), x)["params"]
     assert jax.tree.structure(p2) == jax.tree.structure(params)
+    bad = [type(l).__name__ for l in jax.tree.leaves(p2)
+           if "Tracer" in type(l).__name__]
+    assert not bad, f"switched init leaked tracers: {bad[:3]}"
+    c = np.asarray(switched.apply({"params": p2}, x))
+    assert np.isfinite(c).all()
 
 
 def test_scan_blocks_trains(loop_setup):
