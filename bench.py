@@ -112,14 +112,17 @@ def _make(name):
     from image_restoration_tpu.models import get_model
     from image_restoration_tpu.utils.options import MODEL_DEFAULTS
 
-    if name in ("moce_ir", "srconvnet", "darkir", "transweather", "nerd_rain"):
+    if name in ("moce_ir", "srconvnet", "darkir", "transweather", "nerd_rain",
+                "adair"):
         # moce_ir: the big config (MoCE-IR-main/src/options.py:69-84), the
         # CDD-11 BASELINE entry, with the encoder canvas kernel + per-level
         # scan. srconvnet: SRConvNet-L x4 (512^2 -> 2048^2). darkir: DarkIR-m.
         # transweather / nerd_rain: remaining BASELINE families at defaults.
+        # adair: Restormer-geometry U-Net + FreModules; rides the same
+        # whole-block canvas kernel + per-level scan via BlockStackMixin.
         kw = {k: tuple(v) if isinstance(v, list) else v
               for k, v in MODEL_DEFAULTS[name].items()}
-        if name == "moce_ir":
+        if name in ("moce_ir", "adair"):
             kw.update(fused_block=True, scan_blocks=True)
         chain = {"nerd_rain": 12}.get(name, 24)
         return get_model(name, dtype=jnp.bfloat16, **kw), 512, chain

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
-from image_restoration_tpu.models.restormer import TransformerBlock
+from image_restoration_tpu.models.restormer import BlockStackMixin
 from image_restoration_tpu.ops.attention import l2_normalize
 from image_restoration_tpu.ops.common import Conv, gelu_exact
 from image_restoration_tpu.ops.resample import Downsample, Upsample, resize_bilinear
@@ -182,7 +182,7 @@ class FreModule(nn.Module):
 
 
 @register_model("adair")
-class AdaIR(nn.Module):
+class AdaIR(BlockStackMixin, nn.Module):
     inp_channels: int = 3
     out_channels: int = 3
     dim: int = 48
@@ -193,17 +193,18 @@ class AdaIR(nn.Module):
     use_bias: bool = False
     ln_type: str = "WithBias"
     decoder: bool = True
+    # Serving fast paths shared with Restormer (BlockStackMixin): AdaIR's
+    # block stacks ARE Restormer TransformerBlocks (model.py:378-496 builds
+    # them from the same Attention/FeedForward), so the whole-block canvas
+    # kernel and per-level nn.scan apply unchanged; FreModules run between
+    # levels on the plain NHWC tensor.
+    fold_dwconv: bool = False
+    fused_gdfn: bool = False
+    fused_attn: bool = False
+    fused_block: bool = False
+    scan_blocks: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
-
-    def _blocks(self, dim, heads, n, prefix):
-        return [
-            TransformerBlock(dim=dim, num_heads=heads, expansion=self.ffn_expansion_factor,
-                             use_bias=self.use_bias, ln_type=self.ln_type,
-                             dtype=self.dtype, param_dtype=self.param_dtype,
-                             name=f"{prefix}_{i}")
-            for i in range(n)
-        ]
 
     @nn.compact
     def __call__(self, inp_img):
@@ -212,18 +213,17 @@ class AdaIR(nn.Module):
         x = inp_img.astype(self.dtype) if self.dtype is not None else inp_img
 
         feats = Conv(d, 3, padding=1, use_bias=False, name="patch_embed", **kw)(x)
-        enc1 = feats
-        for blk in self._blocks(d, self.heads[0], self.num_blocks[0], "encoder_level1"):
-            enc1 = blk(enc1)
+        enc1 = self._run_level(
+            feats, (d, self.heads[0], self.num_blocks[0], "encoder_level1"))
         enc2 = Downsample(d, name="down1_2", **kw)(enc1)
-        for blk in self._blocks(d * 2, self.heads[1], self.num_blocks[1], "encoder_level2"):
-            enc2 = blk(enc2)
+        enc2 = self._run_level(
+            enc2, (d * 2, self.heads[1], self.num_blocks[1], "encoder_level2"))
         enc3 = Downsample(d * 2, name="down2_3", **kw)(enc2)
-        for blk in self._blocks(d * 4, self.heads[2], self.num_blocks[2], "encoder_level3"):
-            enc3 = blk(enc3)
+        enc3 = self._run_level(
+            enc3, (d * 4, self.heads[2], self.num_blocks[2], "encoder_level3"))
         latent = Downsample(d * 4, name="down3_4", **kw)(enc3)
-        for blk in self._blocks(d * 8, self.heads[3], self.num_blocks[3], "latent"):
-            latent = blk(latent)
+        latent = self._run_level(
+            latent, (d * 8, self.heads[3], self.num_blocks[3], "latent"))
 
         fre = lambda dd, name: FreModule(dd, num_heads=self.heads[2],
                                          use_bias=self.use_bias, name=name, **kw)
@@ -233,25 +233,25 @@ class AdaIR(nn.Module):
         dec3 = Upsample(d * 8, name="up4_3", **kw)(latent)
         dec3 = jnp.concatenate([dec3, enc3], axis=-1)
         dec3 = Conv(d * 4, 1, use_bias=self.use_bias, name="reduce_chan_level3", **kw)(dec3)
-        for blk in self._blocks(d * 4, self.heads[2], self.num_blocks[2], "decoder_level3"):
-            dec3 = blk(dec3)
+        dec3 = self._run_level(
+            dec3, (d * 4, self.heads[2], self.num_blocks[2], "decoder_level3"))
         if self.decoder:
             dec3 = fre(d * 4, "fre2")(x, dec3)
 
         dec2 = Upsample(d * 4, name="up3_2", **kw)(dec3)
         dec2 = jnp.concatenate([dec2, enc2], axis=-1)
         dec2 = Conv(d * 2, 1, use_bias=self.use_bias, name="reduce_chan_level2", **kw)(dec2)
-        for blk in self._blocks(d * 2, self.heads[1], self.num_blocks[1], "decoder_level2"):
-            dec2 = blk(dec2)
+        dec2 = self._run_level(
+            dec2, (d * 2, self.heads[1], self.num_blocks[1], "decoder_level2"))
         if self.decoder:
             dec2 = fre(d * 2, "fre3")(x, dec2)
 
         dec1 = Upsample(d * 2, name="up2_1", **kw)(dec2)
         dec1 = jnp.concatenate([dec1, enc1], axis=-1)
-        for blk in self._blocks(d * 2, self.heads[0], self.num_blocks[0], "decoder_level1"):
-            dec1 = blk(dec1)
-        for blk in self._blocks(d * 2, self.heads[0], self.num_refinement_blocks, "refinement"):
-            dec1 = blk(dec1)
+        dec1 = self._run_level(
+            dec1,
+            (d * 2, self.heads[0], self.num_blocks[0], "decoder_level1"),
+            (d * 2, self.heads[0], self.num_refinement_blocks, "refinement"))
         out = Conv(self.out_channels, 3, padding=1, use_bias=self.use_bias,
                    name="output", **kw)(dec1) + x
         return out.astype(jnp.float32)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
-from image_restoration_tpu.models.restormer import TransformerBlock
+from image_restoration_tpu.models.restormer import BlockStackMixin
 from image_restoration_tpu.ops.common import Conv
 from image_restoration_tpu.ops.inr import INR
 from image_restoration_tpu.ops.resample import Downsample, Upsample
@@ -57,8 +57,14 @@ class Fusion(nn.Module):
 
 
 @register_model("nerd_rain")
-class MultiscaleNet(nn.Module):
-    """model.py:234-631 (large variant)."""
+class MultiscaleNet(BlockStackMixin, nn.Module):
+    """model.py:234-631 (large variant).
+
+    Serving fast paths (BlockStackMixin): every stack here is a run of
+    Restormer TransformerBlocks, so ``fused_block`` (whole-block 2-pass
+    canvas kernel) and ``scan_blocks`` (per-stack nn.scan; use
+    restormer.stack_scan_params to convert imported loop-layout trees)
+    apply to all three branches unchanged."""
 
     inp_channels: int = 3
     out_channels: int = 3
@@ -67,19 +73,17 @@ class MultiscaleNet(nn.Module):
     heads: Sequence[int] = (1, 2, 4)
     ffn_expansion_factor: float = 2.66
     use_bias: bool = False
+    ln_type: str = "WithBias"
+    fold_dwconv: bool = False
+    fused_gdfn: bool = False
+    fused_attn: bool = False
+    fused_block: bool = False
+    scan_blocks: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
-    def _tb(self, d, h, n, name):
-        return [TransformerBlock(dim=d, num_heads=h, expansion=self.ffn_expansion_factor,
-                                 use_bias=self.use_bias, dtype=self.dtype,
-                                 param_dtype=self.param_dtype, name=f"{name}_{i}")
-                for i in range(n)]
-
-    def _seq(self, x, blocks):
-        for b in blocks:
-            x = b(x)
-        return x
+    def _stack(self, x, d, h, n, name):
+        return self._run_level(x, (d, h, n, name))
 
     @nn.compact
     def __call__(self, inp_img):
@@ -99,11 +103,11 @@ class MultiscaleNet(nn.Module):
 
         # ---- small branch encoder
         e1s = conv(d, "patch_embed_small")(img_small)
-        e1s = self._seq(e1s, self._tb(d, hd[0], nb[0], "encoder_level1_small"))
+        e1s = self._stack(e1s, d, hd[0], nb[0], "encoder_level1_small")
         e2s = Downsample(d, name="down1_2_small", **kw)(e1s)
-        e2s = self._seq(e2s, self._tb(d * 2, hd[1], nb[1], "encoder_level2_small"))
+        e2s = self._stack(e2s, d * 2, hd[1], nb[1], "encoder_level2_small")
         lat_s = Downsample(d * 2, name="down2_3_small", **kw)(e2s)
-        lat_s = self._seq(lat_s, self._tb(d * 4, hd[2], nb[2], "latent_small"))
+        lat_s = self._stack(lat_s, d * 4, hd[2], nb[2], "latent_small")
         lat_s_mid = Upsample(d * 4, name="upsmall2mid1", **kw)(lat_s)
         lat_s_mid = Upsample(d * 2, name="upsmall2mid2", **kw)(lat_s_mid)
 
@@ -115,11 +119,11 @@ class MultiscaleNet(nn.Module):
 
         # ---- mid branch first pass
         e1m = conv(d, "patch_embed_mid")(mid_img)
-        e1m = self._seq(e1m, self._tb(d, hd[0], nb[0], "encoder_level1_mid1"))
+        e1m = self._stack(e1m, d, hd[0], nb[0], "encoder_level1_mid1")
         e2m = Downsample(d, name="down1_2_mid", **kw)(e1m)
-        e2m = self._seq(e2m, self._tb(d * 2, hd[1], nb[1], "encoder_level2_mid1"))
+        e2m = self._stack(e2m, d * 2, hd[1], nb[1], "encoder_level2_mid1")
         lat_m = Downsample(d * 2, name="down2_3_mid", **kw)(e2m)
-        lat_m = self._seq(lat_m, self._tb(d * 4, hd[2], nb[2], "latent_mid1"))
+        lat_m = self._stack(lat_m, d * 4, hd[2], nb[2], "latent_mid1")
         lat_m_max = Upsample(d * 4, name="upmid2max1", **kw)(lat_m)
         lat_m_max = Upsample(d * 2, name="upmid2max2", **kw)(lat_m_max)
 
@@ -131,45 +135,45 @@ class MultiscaleNet(nn.Module):
 
         # ---- max branch: three chained U-Net passes
         e1x = conv(d, "patch_embed_max")(max_img)
-        e1x = self._seq(e1x, self._tb(d, hd[0], nb[0], "encoder_level1_max1"))
+        e1x = self._stack(e1x, d, hd[0], nb[0], "encoder_level1_max1")
         e2x = Downsample(d, name="down1_2_max", **kw)(e1x)
-        e2x = self._seq(e2x, self._tb(d * 2, hd[1], nb[1], "encoder_level2_max1"))
+        e2x = self._stack(e2x, d * 2, hd[1], nb[1], "encoder_level2_max1")
         lat_x = Downsample(d * 2, name="down2_3_max", **kw)(e2x)
-        lat_x = self._seq(lat_x, self._tb(d * 4, hd[2], nb[2], "latent_max1"))
+        lat_x = self._stack(lat_x, d * 4, hd[2], nb[2], "latent_max1")
         bff_max_1 = lat_x
 
         dx = Upsample(d * 4, name="up3_2_max", **kw)(lat_x)
         dx = conv(d * 2, "reduce_chan_level2_max1", 1, 0)(jnp.concatenate([dx, e2x], -1))
-        dx = self._seq(dx, self._tb(d * 2, hd[1], nb[1], "decoder_level2_max1"))
+        dx = self._stack(dx, d * 2, hd[1], nb[1], "decoder_level2_max1")
         dx = Upsample(d * 2, name="up2_1_max", **kw)(dx)
         dx = conv(d, "reduce_chan_level1_max1", 1, 0)(jnp.concatenate([dx, e1x], -1))
-        dx = self._seq(dx, self._tb(d, hd[0], nb[0], "decoder_level1_max1"))
+        dx = self._stack(dx, d, hd[0], nb[0], "decoder_level1_max1")
         dx = conv(d, "output_max_context1")(dx)
 
-        e1x = self._seq(dx, self._tb(d, hd[0], nb[0], "encoder_level1_max2"))
+        e1x = self._stack(dx, d, hd[0], nb[0], "encoder_level1_max2")
         e2x = Downsample(d, name="down1_2_max2", **kw)(e1x)
-        e2x = self._seq(e2x, self._tb(d * 2, hd[1], nb[1], "encoder_level2_max2"))
+        e2x = self._stack(e2x, d * 2, hd[1], nb[1], "encoder_level2_max2")
         lat_x = Downsample(d * 2, name="down2_3_max2", **kw)(e2x)
-        lat_x = self._seq(lat_x, self._tb(d * 4, hd[2], nb[2], "latent_max2"))
+        lat_x = self._stack(lat_x, d * 4, hd[2], nb[2], "latent_max2")
         bff_max_2 = lat_x
 
         dx = Upsample(d * 4, name="up3_2_max2", **kw)(lat_x)
         dx = conv(d * 2, "reduce_chan_level2_max2", 1, 0)(jnp.concatenate([dx, e2x], -1))
-        dx = self._seq(dx, self._tb(d * 2, hd[1], nb[1], "decoder_level2_max2"))
+        dx = self._stack(dx, d * 2, hd[1], nb[1], "decoder_level2_max2")
         dx = Upsample(d * 2, name="up2_1_max2", **kw)(dx)
         # single instance: the reference REUSES these weights in the third
         # decoder pass (model.py:598; reduce_chan_level1_max3 is dead)
         red1_max2 = Conv(d, 1, padding=0, use_bias=self.use_bias,
                          name="reduce_chan_level1_max2", **kw)
         dx = red1_max2(jnp.concatenate([dx, e1x], -1))
-        dx = self._seq(dx, self._tb(d, hd[0], nb[0], "decoder_level1_max2"))
+        dx = self._stack(dx, d, hd[0], nb[0], "decoder_level1_max2")
         dx = conv(d, "output_max_context2")(dx)
 
-        e1x = self._seq(dx, self._tb(d, hd[0], nb[0], "encoder_level1_max3"))
+        e1x = self._stack(dx, d, hd[0], nb[0], "encoder_level1_max3")
         e2x = Downsample(d, name="down1_2_max3", **kw)(e1x)
-        e2x = self._seq(e2x, self._tb(d * 2, hd[1], nb[1], "encoder_level2_max3"))
+        e2x = self._stack(e2x, d * 2, hd[1], nb[1], "encoder_level2_max3")
         lat_x = Downsample(d * 2, name="down2_3_max3", **kw)(e2x)
-        lat_x = self._seq(lat_x, self._tb(d * 4, hd[2], nb[2], "latent_max3"))
+        lat_x = self._stack(lat_x, d * 4, hd[2], nb[2], "latent_max3")
 
         bff1 = _interp(Fusion(d * 4, name="BF1", **kw)(bff_max_1, bff_max_2), 0.5)
         bff2 = _interp(Fusion(d * 4, name="BF2", **kw)(bff_max_2, lat_x), 0.5)
@@ -181,17 +185,17 @@ class MultiscaleNet(nn.Module):
         lat_m = lat_m + bff1
         dm = Upsample(d * 4, name="up3_2_mid", **kw)(lat_m)
         dm = conv(d * 2, "reduce_chan_level2_mid1", 1, 0)(jnp.concatenate([dm, e2m], -1))
-        dm = self._seq(dm, self._tb(d * 2, hd[1], nb[1], "decoder_level2_mid1"))
+        dm = self._stack(dm, d * 2, hd[1], nb[1], "decoder_level2_mid1")
         dm = Upsample(d * 2, name="up2_1_mid", **kw)(dm)
         dm = conv(d, "reduce_chan_level1_mid1", 1, 0)(jnp.concatenate([dm, e1m], -1))
-        dm = self._seq(dm, self._tb(d, hd[0], nb[0], "decoder_level1_mid1"))
+        dm = self._stack(dm, d, hd[0], nb[0], "decoder_level1_mid1")
         dm = conv(d, "output_mid_context")(dm)
 
-        e1m = self._seq(dm, self._tb(d, hd[0], nb[0], "encoder_level1_mid2"))
+        e1m = self._stack(dm, d, hd[0], nb[0], "encoder_level1_mid2")
         e2m = Downsample(d, name="down1_2_mid2", **kw)(e1m)
-        e2m = self._seq(e2m, self._tb(d * 2, hd[1], nb[1], "encoder_level2_mid2"))
+        e2m = self._stack(e2m, d * 2, hd[1], nb[1], "encoder_level2_mid2")
         lat_m = Downsample(d * 2, name="down2_3_mid2", **kw)(e2m)
-        lat_m = self._seq(lat_m, self._tb(d * 4, hd[2], nb[2], "latent_mid2"))
+        lat_m = self._stack(lat_m, d * 4, hd[2], nb[2], "latent_mid2")
         bff3 = _interp(Fusion(d * 4, name="BF3", **kw)(bff3_1, lat_m), 0.5)
         lat_m = lat_m + bff2
         dm_dec2 = Upsample(d * 4, name="up3_2_mid2", **kw)(lat_m)
@@ -200,10 +204,10 @@ class MultiscaleNet(nn.Module):
         lat_s = lat_s + bff3
         ds = Upsample(d * 4, name="up3_2_small", **kw)(lat_s)
         ds = conv(d * 2, "reduce_chan_level2_small", 1, 0)(jnp.concatenate([ds, e2s], -1))
-        ds = self._seq(ds, self._tb(d * 2, hd[1], nb[1], "decoder_level2_small"))
+        ds = self._stack(ds, d * 2, hd[1], nb[1], "decoder_level2_small")
         ds = Upsample(d * 2, name="up2_1_small", **kw)(ds)
         ds = conv(d, "reduce_chan_level1_small", 1, 0)(jnp.concatenate([ds, e1s], -1))
-        ds = self._seq(ds, self._tb(d, hd[0], nb[0], "decoder_level1_small"))
+        ds = self._stack(ds, d, hd[0], nb[0], "decoder_level1_small")
         small_2_mid = ds
         out_small = conv(self.out_channels, "output_small")(ds) + img_small
         outputs.append(out_small.astype(jnp.float32))
@@ -211,10 +215,10 @@ class MultiscaleNet(nn.Module):
         # ---- mid decoder second half
         dm = conv(d * 2, "reduce_chan_level2_mid2", 1, 0)(
             jnp.concatenate([dm_dec2, e2m], -1))
-        dm = self._seq(dm, self._tb(d * 2, hd[1], nb[1], "decoder_level2_mid2"))
+        dm = self._stack(dm, d * 2, hd[1], nb[1], "decoder_level2_mid2")
         dm = Upsample(d * 2, name="up2_1_mid2", **kw)(dm)
         dm = conv(d, "reduce_chan_level1_mid2", 1, 0)(jnp.concatenate([dm, e1m], -1))
-        dm = self._seq(dm, self._tb(d, hd[0], nb[0], "decoder_level1_mid2"))
+        dm = self._stack(dm, d, hd[0], nb[0], "decoder_level1_mid2")
         dm = dm + _interp(small_2_mid, 2)
         mid_2_max = dm
         out_mid = conv(self.out_channels, "output_mid")(dm) + img_mid
@@ -223,10 +227,10 @@ class MultiscaleNet(nn.Module):
         # ---- max decoder third pass
         dx = conv(d * 2, "reduce_chan_level2_max3", 1, 0)(
             jnp.concatenate([dx_dec2, e2x], -1))
-        dx = self._seq(dx, self._tb(d * 2, hd[1], nb[1], "decoder_level2_max3"))
+        dx = self._stack(dx, d * 2, hd[1], nb[1], "decoder_level2_max3")
         dx = Upsample(d * 2, name="up2_1_max3", **kw)(dx)
         dx = red1_max2(jnp.concatenate([dx, e1x], -1))  # reuse (model.py:598)
-        dx = self._seq(dx, self._tb(d, hd[0], nb[0], "decoder_level1_max3"))
+        dx = self._stack(dx, d, hd[0], nb[0], "decoder_level1_max3")
         dx = dx + _interp(mid_2_max, 2)
         out_max = conv(self.out_channels, "output_max")(dx) + img_max
         outputs.append(out_max.astype(jnp.float32))

@@ -200,10 +200,46 @@ class _ScanCell(nn.Module):
         return blk(x, w_real=self.w_real), None
 
 
+def stack_scan_params(params):
+    """Generic loop->scan layout converter: any maximal run of sibling
+    subtrees named ``{prefix}_0 .. {prefix}_{n-1}`` with identical leaf
+    shapes is replaced by ``{prefix}_scan: {"block": leaves stacked on axis
+    0}`` — the layout `BlockStackMixin._run_level(scan_blocks=True)` expects.
+    Runs must start at index 0, so step-numbered module names like
+    ``latent_mid1`` / ``up2_1_mid2`` (no ``..._0`` sibling) pass through
+    untouched. Works for any model whose stacks are built by the mixin
+    (Restormer, AdaIR, NeRD-Rain)."""
+    import re
+
+    import jax
+
+    out = dict(params)
+    runs = {}
+    for k in out:
+        m = re.fullmatch(r"(.+)_(\d+)", k)
+        if m:
+            runs.setdefault(m.group(1), set()).add(int(m.group(2)))
+    for prefix, idxs in runs.items():
+        n = len(idxs)
+        if idxs != set(range(n)):
+            continue  # not a 0..n-1 run: step-numbered module, not a stack
+        group = [out[f"{prefix}_{i}"] for i in range(n)]
+        shapes = [jax.tree.map(jnp.shape, g) for g in group]
+        if any(s != shapes[0] for s in shapes[1:]):
+            continue  # heterogeneous: not an identical-block stack
+        for i in range(n):
+            out.pop(f"{prefix}_{i}")
+        out[f"{prefix}_scan"] = {
+            "block": jax.tree.map(lambda *ls: jnp.stack(ls, 0), *group)}
+    return out
+
+
 def to_scan_params(params, num_blocks=(4, 6, 6, 8), num_refinement_blocks=4):
     """Convert a loop-layout Restormer param tree (`encoder_level1_0`, ...)
     to the scan layout (`encoder_level1_scan.block` with leaves stacked on
-    axis 0). Use after torch checkpoint import to run `scan_blocks=True`."""
+    axis 0). Use after torch checkpoint import to run `scan_blocks=True`.
+    AdaIR uses the same group names, so this converts AdaIR trees too (its
+    FreModule/resample params pass through untouched)."""
     import jax
 
     out = dict(params)
@@ -224,25 +260,15 @@ def to_scan_params(params, num_blocks=(4, 6, 6, 8), num_refinement_blocks=4):
 from image_restoration_tpu.models.registry import register_model
 
 
-@register_model("restormer")
-class Restormer(nn.Module):
-    inp_channels: int = 3
-    out_channels: int = 3
-    dim: int = 48
-    num_blocks: Sequence[int] = (4, 6, 6, 8)
-    num_refinement_blocks: int = 4
-    heads: Sequence[int] = (1, 2, 4, 8)
-    ffn_expansion_factor: float = 2.66
-    use_bias: bool = False
-    ln_type: str = "WithBias"
-    dual_pixel_task: bool = False
-    fold_dwconv: bool = False  # alternative dense-3x3 folded qkv/FFN convs
-    fused_gdfn: bool = False   # Pallas fused LN+GDFN (TPU serving fast path)
-    fused_attn: bool = False   # Pallas fused LN+qkv+dwconv front
-    fused_block: bool = False  # whole-block 2-pass canvas kernel (fastest)
-    scan_blocks: bool = False  # nn.scan over each level's blocks (fast compile)
-    dtype: Any = None
-    param_dtype: Any = jnp.float32
+class BlockStackMixin:
+    """Shared serving fast paths for Restormer-block U-Nets (Restormer,
+    AdaIR): the whole-block 2-pass canvas kernel (``fused_block``) and the
+    per-level ``nn.scan`` layout (``scan_blocks``). The host nn.Module must
+    define ``ffn_expansion_factor, use_bias, ln_type, fold_dwconv,
+    fused_gdfn, fused_attn, fused_block, scan_blocks, dtype, param_dtype``.
+    Param naming is identical to the plain per-block loop (``{prefix}_{i}``)
+    unless ``scan_blocks`` stacks each group under ``{prefix}_scan.block``
+    (see ``to_scan_params``)."""
 
     def _block_kwargs(self, dim, heads):
         return dict(
@@ -288,6 +314,27 @@ class Restormer(nn.Module):
         if self.fused_block:
             x = canvas_unpad(x, w, c)
         return x
+
+
+@register_model("restormer")
+class Restormer(BlockStackMixin, nn.Module):
+    inp_channels: int = 3
+    out_channels: int = 3
+    dim: int = 48
+    num_blocks: Sequence[int] = (4, 6, 6, 8)
+    num_refinement_blocks: int = 4
+    heads: Sequence[int] = (1, 2, 4, 8)
+    ffn_expansion_factor: float = 2.66
+    use_bias: bool = False
+    ln_type: str = "WithBias"
+    dual_pixel_task: bool = False
+    fold_dwconv: bool = False  # alternative dense-3x3 folded qkv/FFN convs
+    fused_gdfn: bool = False   # Pallas fused LN+GDFN (TPU serving fast path)
+    fused_attn: bool = False   # Pallas fused LN+qkv+dwconv front
+    fused_block: bool = False  # whole-block 2-pass canvas kernel (fastest)
+    scan_blocks: bool = False  # nn.scan over each level's blocks (fast compile)
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, inp_img):

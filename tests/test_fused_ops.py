@@ -146,6 +146,59 @@ def test_restormer_fused_block_parity(rng):
     assert rel < 1e-5, rel
 
 
+def test_adair_fast_paths_parity(rng):
+    """AdaIR inherits the Restormer serving fast paths via BlockStackMixin:
+    fused_block+scan_blocks must match the plain per-block loop, and
+    to_scan_params must convert AdaIR's loop param tree (FreModule params
+    pass through untouched)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.models.adair import AdaIR
+    from image_restoration_tpu.models.restormer import to_scan_params
+
+    cfg = dict(dim=8, num_blocks=(2, 1, 1, 1), num_refinement_blocks=2,
+               heads=(1, 2, 4, 8))
+    m0 = AdaIR(**cfg)
+    m1 = AdaIR(**cfg, fused_block=True, scan_blocks=True)
+    x = jnp.asarray(rng.random((1, 32, 48, 3)).astype(np.float32))
+    p0 = m0.init(jax.random.PRNGKey(0), x)["params"]
+    p1 = m1.init(jax.random.PRNGKey(0), x)["params"]
+    pc = to_scan_params(p0, cfg["num_blocks"], cfg["num_refinement_blocks"])
+    assert jax.tree.structure(pc) == jax.tree.structure(p1)
+    np.testing.assert_allclose(
+        np.asarray(m0.apply({"params": p0}, x)),
+        np.asarray(m1.apply({"params": pc}, x)), rtol=5e-5, atol=5e-5)
+
+
+def test_nerd_rain_fast_paths_parity(rng):
+    """NeRD-Rain stacks are Restormer TransformerBlocks run through
+    BlockStackMixin; fused_block+scan_blocks must match the plain loop, with
+    stack_scan_params (the generic converter) mapping the loop param tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.models.nerd_rain import MultiscaleNet
+    from image_restoration_tpu.models.restormer import stack_scan_params
+
+    cfg = dict(dim=8, num_blocks=(2, 1, 1), heads=(1, 2, 4))
+    m0 = MultiscaleNet(**cfg)
+    m1 = MultiscaleNet(**cfg, fused_block=True, scan_blocks=True)
+    x = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    p0 = m0.init(jax.random.PRNGKey(0), x)["params"]
+    p1 = m1.init(jax.random.PRNGKey(0), x)["params"]
+    pc = stack_scan_params(p0)
+    assert jax.tree.structure(pc) == jax.tree.structure(p1)
+    o0 = m0.apply({"params": p0}, x)
+    o1 = m1.apply({"params": pc}, x)
+    # Looser than the AdaIR test: the 3-branch pyramid chains ~3x more
+    # blocks, so fp32 reassociation noise accumulates (observed max ~7e-5
+    # abs on O(20)-magnitude outputs).
+    for a, b in zip(o0, o1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=2e-4)
+
+
 def test_restormer_scan_blocks_parity(rng):
     """scan_blocks (nn.scan over each level's blocks, stacked params) must
     match the loop layout exactly; to_scan_params converts loop->scan trees
