@@ -122,7 +122,7 @@ def _make(name):
         # whole-block canvas kernel + per-level scan via BlockStackMixin.
         kw = {k: tuple(v) if isinstance(v, list) else v
               for k, v in MODEL_DEFAULTS[name].items()}
-        if name in ("moce_ir", "adair"):
+        if name in ("moce_ir", "adair", "nerd_rain"):
             kw.update(fused_block=True, scan_blocks=True)
         chain = {"nerd_rain": 12}.get(name, 24)
         return get_model(name, dtype=jnp.bfloat16, **kw), 512, chain
