@@ -160,11 +160,13 @@ def _reference_ln_gdfn(x, params, ln_type: str, eps: float = 1e-5):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if b_in is not None:
         h = h + b_in.astype(dt)
-    dn = jax.lax.conv_dimension_numbers(h.shape, w_dw.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    h = jax.lax.conv_general_dilated(
-        h, w_dw.astype(dt), (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
-        feature_group_count=h.shape[-1])
+    from image_restoration_tpu.ops.common import grouped_conv
+
+    # partition-safe dwconv: this composition is the custom-VJP reference the
+    # backward pass differentiates, and raw grouped-conv weight grads are
+    # mis-reduced by the SPMD partitioner on multi-axis meshes (ops/common.py)
+    h = grouped_conv(h, w_dw.astype(dt), (1, 1), ((1, 1), (1, 1)), (1, 1),
+                     h.shape[-1])
     if b_dw is not None:
         h = h + b_dw.astype(dt)
     cbr, gbr = jnp.split(h, 2, axis=-1)

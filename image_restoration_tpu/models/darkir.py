@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
-from image_restoration_tpu.ops.common import Conv, simple_gate
+from image_restoration_tpu.ops.common import Conv, GroupedConv, simple_gate
 from image_restoration_tpu.ops.fft import FreMLP
 from image_restoration_tpu.ops.layernorm import LayerNorm2d
 from image_restoration_tpu.ops.resample import pixel_shuffle
@@ -25,7 +25,7 @@ from image_restoration_tpu.ops.resample import pixel_shuffle
 
 def _dilated_dwconv(x, features, dilation, name, dtype, param_dtype, groups):
     """3x3 depthwise conv with dilation (arch_model.Branch)."""
-    return nn.Conv(
+    return GroupedConv(
         features, (3, 3), padding=[(dilation, dilation)] * 2,
         kernel_dilation=(dilation, dilation), feature_group_count=groups,
         use_bias=True, dtype=dtype, param_dtype=param_dtype, name=name,

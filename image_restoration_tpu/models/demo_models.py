@@ -31,7 +31,7 @@ import numpy as np
 
 from image_restoration_tpu.models.registry import register_model
 from image_restoration_tpu.models.transweather import ConvTranspose
-from image_restoration_tpu.ops.common import Conv, gelu_exact
+from image_restoration_tpu.ops.common import Conv, GroupedConv, gelu_exact
 from image_restoration_tpu.ops.resample import resize_bilinear
 
 
@@ -230,7 +230,7 @@ class SFSAttention(nn.Module):
         if self.conv_type == "DWConv":
             # torch Conv2d(5, padding=2, padding_mode='reflect')
             vp = jnp.pad(V, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
-            conv = nn.Conv(self.dim, (5, 5), padding="VALID",
+            conv = GroupedConv(self.dim, (5, 5), padding="VALID",
                            feature_group_count=self.dim,
                            dtype=self.dtype, param_dtype=self.param_dtype,
                            name="conv")(vp)

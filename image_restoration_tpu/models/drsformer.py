@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
 from image_restoration_tpu.ops.attention import l2_normalize
-from image_restoration_tpu.ops.common import Conv
+from image_restoration_tpu.ops.common import Conv, GroupedConv
 from image_restoration_tpu.ops.layernorm import LayerNorm
 from image_restoration_tpu.ops.resample import Downsample, Upsample
 
@@ -167,7 +167,7 @@ class DilConvOp(nn.Module):
     @nn.compact
     def __call__(self, x):
         pad = (self.k - 1) * self.dil // 2
-        x = nn.Conv(self.c, (self.k, self.k), padding=[(pad, pad)] * 2,
+        x = GroupedConv(self.c, (self.k, self.k), padding=[(pad, pad)] * 2,
                     kernel_dilation=(self.dil, self.dil), feature_group_count=self.c,
                     use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
                     name="op_0")(x)

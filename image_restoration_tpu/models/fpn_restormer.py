@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
-from image_restoration_tpu.ops.common import Conv, gelu_exact
+from image_restoration_tpu.ops.common import Conv, GroupedConv, gelu_exact
 from image_restoration_tpu.ops.ffn import GDFN
 from image_restoration_tpu.ops.layernorm import BatchNorm2d, LayerNorm
 from image_restoration_tpu.ops.resample import (
@@ -77,7 +77,7 @@ class DSConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = self.dilation
-        x = nn.Conv(self.channels, (self.kernel, self.kernel),
+        x = GroupedConv(self.channels, (self.kernel, self.kernel),
                     padding=[(p, p), (p, p)], kernel_dilation=(self.dilation,) * 2,
                     feature_group_count=self.channels, use_bias=self.use_bias,
                     dtype=self.dtype, param_dtype=self.param_dtype,

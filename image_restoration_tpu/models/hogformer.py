@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from image_restoration_tpu.models.registry import register_model
-from image_restoration_tpu.ops.common import Conv, conv2d, layer_scale_init
+from image_restoration_tpu.ops.common import Conv, GroupedConv, conv2d, layer_scale_init
 from image_restoration_tpu.ops.resample import (
     pixel_shuffle,
     pixel_unshuffle,
@@ -121,7 +121,7 @@ class FFN_DIFF(nn.Module):
         x1 = Conv(q, 5, padding=2, groups=q, use_bias=self.use_bias,
                   name="dwconv_5", **kw)(x1)
         # dilated dwconv 3x3, dilation 2, padding 2
-        x2 = nn.Conv(q, (3, 3), padding=[(2, 2), (2, 2)], kernel_dilation=(2, 2),
+        x2 = GroupedConv(q, (3, 3), padding=[(2, 2), (2, 2)], kernel_dilation=(2, 2),
                      feature_group_count=q, use_bias=self.use_bias,
                      dtype=self.dtype, param_dtype=self.param_dtype,
                      name="dwconv_dilated2_1")(x2)

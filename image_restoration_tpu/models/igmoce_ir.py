@@ -30,7 +30,7 @@ from image_restoration_tpu.models.moce_ir import (
     expert_param_count,
 )
 from image_restoration_tpu.models.registry import register_model
-from image_restoration_tpu.ops.common import Conv, simple_gate
+from image_restoration_tpu.ops.common import Conv, GroupedConv, simple_gate
 from image_restoration_tpu.ops.ffn import GDFN
 from image_restoration_tpu.ops.illumination import (
     AdaptiveIlluminationModulator,
@@ -128,10 +128,10 @@ class SpAM(nn.Module):
         x = Conv(dw, 1, use_bias=True, name="conv1", **kw)(x)
         z = 0.0
         for i, dil in enumerate(self.dilations):
-            z = z + nn.Conv(dw, (3, 3), padding=[(dil, dil)] * 2,
-                            kernel_dilation=(dil, dil), feature_group_count=dw,
-                            use_bias=True, dtype=self.dtype,
-                            param_dtype=self.param_dtype, name=f"branches_{i}")(x)
+            z = z + GroupedConv(dw, (3, 3), padding=[(dil, dil)] * 2,
+                                kernel_dilation=(dil, dil), feature_group_count=dw,
+                                use_bias=True, dtype=self.dtype,
+                                param_dtype=self.param_dtype, name=f"branches_{i}")(x)
         z = simple_gate(z)
         sca = jnp.mean(z, axis=(1, 2), keepdims=True)
         sca = Conv(dw // 2, 1, use_bias=True, name="sca_1", **kw)(sca)

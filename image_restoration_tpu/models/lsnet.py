@@ -21,6 +21,7 @@ import numpy as np
 
 from image_restoration_tpu.models.registry import register_model
 from image_restoration_tpu.ops.layernorm import BatchNorm2d
+from image_restoration_tpu.ops.common import GroupedConv
 from image_restoration_tpu.ops.ska import ska
 
 
@@ -37,7 +38,7 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.out, (self.ks, self.ks), strides=(self.stride,) * 2,
+        x = GroupedConv(self.out, (self.ks, self.ks), strides=(self.stride,) * 2,
                     padding=[(self.pad, self.pad)] * 2,
                     feature_group_count=self.groups, use_bias=False,
                     dtype=self.dtype, param_dtype=self.param_dtype, name="c")(x)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
 from image_restoration_tpu.models.restormer import TransformerBlock
-from image_restoration_tpu.ops.common import Conv, layer_scale_init
+from image_restoration_tpu.ops.common import Conv, GroupedConv, layer_scale_init
 from image_restoration_tpu.ops.layernorm import BatchNorm2d, LayerNorm2d
 from image_restoration_tpu.ops.resample import (
     pixel_shuffle,
@@ -248,9 +248,9 @@ class StripedConv2d(nn.Module):
         p = self.kernel_size // 2
         g = self.channels if self.depthwise else 1
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = nn.Conv(self.channels, (1, self.kernel_size), padding=[(0, 0), (p, p)],
+        x = GroupedConv(self.channels, (1, self.kernel_size), padding=[(0, 0), (p, p)],
                     feature_group_count=g, name="conv_0", **kw)(x)
-        x = nn.Conv(self.channels, (self.kernel_size, 1), padding=[(p, p), (0, 0)],
+        x = GroupedConv(self.channels, (self.kernel_size, 1), padding=[(p, p), (0, 0)],
                     feature_group_count=g, name="conv_1", **kw)(x)
         return x
 

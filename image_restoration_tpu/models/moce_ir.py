@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from image_restoration_tpu.models.adair import ChannelCrossAttention
 from image_restoration_tpu.models.registry import register_model
 from image_restoration_tpu.ops.attention import MDTA
-from image_restoration_tpu.ops.common import Conv, gelu_exact
+from image_restoration_tpu.ops.common import Conv, GroupedConv, gelu_exact
 from image_restoration_tpu.ops.ffn import GDFN
 from image_restoration_tpu.ops.layernorm import LayerNorm
 from image_restoration_tpu.ops.moe import (
@@ -452,9 +452,9 @@ class FrequencyEmbedding(nn.Module):
         # the reference intends this frozen (HighPassConv2d(freeze=True)) but
         # `requires_grad_ = False` is an attribute assignment, not a call, so
         # published checkpoints may carry trained weights — keep it a param.
-        h = nn.Conv(c, (3, 3), padding=[(1, 1), (1, 1)], feature_group_count=c,
-                    use_bias=False, kernel_init=hp_init, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="high_conv_0")(x)
+        h = GroupedConv(c, (3, 3), padding=[(1, 1), (1, 1)], feature_group_count=c,
+                        use_bias=False, kernel_init=hp_init, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="high_conv_0")(x)
         h = gelu_exact(h)
         h = jnp.mean(h, axis=(1, 2))
         h = nn.Dense(2 * self.dim, dtype=self.dtype, param_dtype=self.param_dtype,

@@ -44,7 +44,7 @@ from image_restoration_tpu.models.moce_ir import (
 )
 from image_restoration_tpu.models.registry import register_model
 from image_restoration_tpu.ops.attention import MDTA
-from image_restoration_tpu.ops.common import Conv, conv2d, gelu_exact
+from image_restoration_tpu.ops.common import Conv, GroupedConv, conv2d, gelu_exact
 from image_restoration_tpu.ops.ffn import GDFN
 from image_restoration_tpu.ops.layernorm import BatchNorm2d
 from image_restoration_tpu.ops.resample import Downsample, Upsample
@@ -96,7 +96,7 @@ class GatedDegradationAdaption(nn.Module):
         beta = f[..., hidden - 2 * qc : hidden - qc]
         alpha = f[..., hidden - qc :]
         # grouped conv qc -> 2*qc (2 outputs per group, model.py:543-544)
-        alpha = nn.Conv(hidden // 2, (3, 3), padding=[(1, 1), (1, 1)],
+        alpha = GroupedConv(hidden // 2, (3, 3), padding=[(1, 1), (1, 1)],
                         feature_group_count=qc, use_bias=True,
                         dtype=self.dtype, param_dtype=self.param_dtype,
                         name="depthwise_conv")(alpha)

@@ -200,15 +200,23 @@ class _ScanCell(nn.Module):
         return blk(x, w_real=self.w_real), None
 
 
-def stack_scan_params(params):
-    """Generic loop->scan layout converter: any maximal run of sibling
-    subtrees named ``{prefix}_0 .. {prefix}_{n-1}`` with identical leaf
-    shapes is replaced by ``{prefix}_scan: {"block": leaves stacked on axis
-    0}`` — the layout `BlockStackMixin._run_level(scan_blocks=True)` expects.
-    Runs must start at index 0, so step-numbered module names like
-    ``latent_mid1`` / ``up2_1_mid2`` (no ``..._0`` sibling) pass through
-    untouched. Works for any model whose stacks are built by the mixin
-    (Restormer, AdaIR, NeRD-Rain)."""
+def stack_scan_params(params, prefixes=None):
+    """Loop->scan layout converter over the TOP-LEVEL keys of ``params``:
+    a run of sibling subtrees named ``{prefix}_0 .. {prefix}_{n-1}`` with
+    identical leaf shapes is replaced by ``{prefix}_scan: {"block": leaves
+    stacked on axis 0}`` — the layout
+    `BlockStackMixin._run_level(scan_blocks=True)` expects. Nested dicts are
+    NOT recursed into (block-stack groups live at the top level for every
+    mixin model; recursing would mis-stack flax auto-numbered submodules like
+    ``Conv_0``/``Conv_1``). Runs must start at index 0, so step-numbered
+    module names like ``latent_mid1`` / ``up2_1_mid2`` (no ``..._0`` sibling)
+    pass through untouched.
+
+    ``prefixes``: optional allowlist of stack-name prefixes (e.g.
+    ``{"encoder_level1", "latent"}``); when given, only those runs are
+    converted — use it to protect coincidental ``foo_0``/``foo_1`` sibling
+    pairs that are not block stacks. Works for any model whose stacks are
+    built by the mixin (Restormer, AdaIR, NeRD-Rain)."""
     import re
 
     import jax
@@ -220,6 +228,8 @@ def stack_scan_params(params):
         if m:
             runs.setdefault(m.group(1), set()).add(int(m.group(2)))
     for prefix, idxs in runs.items():
+        if prefixes is not None and prefix not in prefixes:
+            continue
         n = len(idxs)
         if idxs != set(range(n)):
             continue  # not a 0..n-1 run: step-numbered module, not a stack

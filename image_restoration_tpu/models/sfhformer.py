@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
-from image_restoration_tpu.ops.common import Conv, gelu_exact
+from image_restoration_tpu.ops.common import Conv, GroupedConv, gelu_exact
 from image_restoration_tpu.ops.fft import irfft2_fast, rfft2_fast
 from image_restoration_tpu.ops.layernorm import BatchNorm2d
 from image_restoration_tpu.ops.resample import pixel_shuffle
@@ -58,7 +58,7 @@ class LocalMixer(nn.Module):
         x1, x2 = jnp.split(x, 2, axis=-1)
         cd1 = Conv(sp, 3, padding=1, groups=sp, use_bias=True, dtype=self.dtype,
                    param_dtype=self.param_dtype, name="CDilated_1")(x1)
-        cd2 = nn.Conv(sp, (3, 3), padding=[(2, 2)] * 2, kernel_dilation=(2, 2),
+        cd2 = GroupedConv(sp, (3, 3), padding=[(2, 2)] * 2, kernel_dilation=(2, 2),
                       feature_group_count=sp, use_bias=True, dtype=self.dtype,
                       param_dtype=self.param_dtype, name="CDilated_2")(x2)
         return jnp.concatenate([cd1, cd2], axis=-1)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
-from image_restoration_tpu.ops.common import Conv, gelu_exact
+from image_restoration_tpu.ops.common import Conv, gelu_exact, grouped_conv
 from image_restoration_tpu.ops.fft import FourierUnit
 from image_restoration_tpu.ops.layernorm import LayerNorm2d
 from image_restoration_tpu.ops.resample import pixel_shuffle, resize_bilinear
@@ -109,11 +109,11 @@ class KernelAggregation(nn.Module):
         xt = x.transpose(1, 2, 0, 3).reshape(1, h, w, b * c)
         kern = wk.transpose(3, 4, 2, 0, 1).reshape(k, k, cig, b * self.dim)
         dt = x.dtype
-        dn = jax.lax.conv_dimension_numbers(xt.shape, kern.shape, ("NHWC", "HWIO", "NHWC"))
-        out = jax.lax.conv_general_dilated(
+        # grouped_conv: the kernel here is a differentiable weight bank, so
+        # its gradient must take the partition-safe path (ops/common.py)
+        out = grouped_conv(
             xt.astype(dt), kern.astype(dt), (1, 1),
-            [(k // 2, k // 2)] * 2, dimension_numbers=dn,
-            feature_group_count=b * self.groups,
+            ((k // 2, k // 2),) * 2, (1, 1), b * self.groups,
         )
         out = out.reshape(h, w, b, c).transpose(2, 0, 1, 3)
         if self.use_bias:

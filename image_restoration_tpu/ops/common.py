@@ -19,6 +19,144 @@ def gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+# ---------------------------------------------------------------------------
+# Partition-safe grouped convolution.
+#
+# XLA's SPMD partitioner (both GSPMD and Shardy, JAX 0.9.0) mis-reduces the
+# WEIGHT gradient of a grouped convolution when the batch is sharded over a
+# proper subset of a multi-axis mesh: the batch_group_count conv that autodiff
+# emits for dw gets psum'd over ALL mesh axes, scaling the grad by the size of
+# every axis the batch is NOT sharded over (e.g. exactly 2x on a
+# ('data','expert')=(4,2) mesh). Verified by minimal repro; dense convs and
+# the dx path are unaffected. Every grouped conv in the package therefore
+# routes through `grouped_conv`, a custom_vjp whose forward and dx are the
+# native convs and whose dw is a tap-shift einsum (elementwise multiply +
+# reduce), which the partitioner handles correctly.
+# ---------------------------------------------------------------------------
+
+
+def _raw_gconv(x, kernel, stride, padding, dilation, groups):
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, kernel, stride, padding, rhs_dilation=dilation,
+        dimension_numbers=dn, feature_group_count=groups)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def grouped_conv(x, kernel, stride, padding, dilation, groups):
+    """NHWC/HWIO grouped conv with a partition-safe weight gradient.
+
+    stride/dilation: 2-tuples; padding: explicit ((lo,hi),(lo,hi)).
+    """
+    return _raw_gconv(x, kernel, stride, padding, dilation, groups)
+
+
+def _gconv_fwd(x, kernel, stride, padding, dilation, groups):
+    return _raw_gconv(x, kernel, stride, padding, dilation, groups), (x, kernel)
+
+
+def _gconv_bwd(stride, padding, dilation, groups, res, dy):
+    x, kernel = res
+    _, vjp_x = jax.vjp(
+        lambda xx: _raw_gconv(xx, kernel, stride, padding, dilation, groups), x)
+    (dx,) = vjp_x(dy)
+    kh, kw, m, cout = kernel.shape
+    q = cout // groups
+    (ph0, ph1), (pw0, pw1) = padding
+    xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    b, _, _, cin = xp.shape
+    _, ho, wo, _ = dy.shape
+    dyr = dy.reshape(b, ho, wo, groups, q)
+    sy, sx = stride
+    dly, dlx = dilation
+    taps_y = []
+    for ky in range(kh):
+        taps_x = []
+        for kx in range(kw):
+            y0, x0 = ky * dly, kx * dlx
+            sl = jax.lax.slice(
+                xp, (0, y0, x0, 0),
+                (b, y0 + (ho - 1) * sy + 1, x0 + (wo - 1) * sx + 1, cin),
+                (1, sy, sx, 1))
+            slr = sl.reshape(b, ho, wo, groups, m)
+            taps_x.append(jnp.einsum("bhwgm,bhwgq->mgq", slr, dyr,
+                                     preferred_element_type=jnp.float32))
+        taps_y.append(jnp.stack(taps_x, 0))
+    dw = jnp.stack(taps_y, 0).reshape(kh, kw, m, cout).astype(kernel.dtype)
+    return dx, dw
+
+
+grouped_conv.defvjp(_gconv_fwd, _gconv_bwd)
+
+
+def _normalize_conv_padding(padding, kernel_size, stride, dilation,
+                            spatial_shape=None):
+    """flax/lax-style padding -> explicit ((lo,hi),(lo,hi)) pairs.
+
+    String modes match lax exactly: SAME pads depend on the input's spatial
+    shape when stride > 1, so ``spatial_shape`` (h, w) is required for them.
+    """
+    if isinstance(padding, str):
+        if padding.upper() == "VALID":
+            return ((0, 0), (0, 0))
+        if padding.upper() != "SAME":
+            raise ValueError(f"unsupported padding {padding!r} for grouped_conv")
+        eff = tuple((k - 1) * d + 1 for k, d in zip(kernel_size, dilation))
+        if spatial_shape is None:
+            raise ValueError("SAME padding needs the input spatial shape")
+        return tuple(jax.lax.padtype_to_pads(spatial_shape, eff, stride, "SAME"))
+    if isinstance(padding, int):
+        return ((padding, padding), (padding, padding))
+    pads = []
+    for p in padding:
+        pads.append((p, p) if isinstance(p, int) else tuple(p))
+    return tuple(pads)
+
+
+class GroupedConv(nn.Module):
+    """Drop-in for ``nn.Conv(feature_group_count>1)`` with the partition-safe
+    gradient (see `grouped_conv`). Same param layout (kernel HWIO + bias) and
+    the same `promote_dtype` semantics as flax's Conv."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: Any = "SAME"
+    kernel_dilation: Sequence[int] = (1, 1)
+    feature_group_count: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    kernel_init: Any = None  # defaults to nn.Conv's lecun_normal
+
+    @nn.compact
+    def __call__(self, x):
+        k = tuple(self.kernel_size)
+        stride = tuple(self.strides)
+        dilation = tuple(self.kernel_dilation)
+        m = x.shape[-1] // self.feature_group_count
+        kernel = self.param("kernel",
+                            self.kernel_init or nn.initializers.lecun_normal(),
+                            (*k, m, self.features), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        from flax.linen import dtypes as _dtypes
+
+        x, kernel, bias = _dtypes.promote_dtype(x, kernel, bias,
+                                                dtype=self.dtype)
+        pads = _normalize_conv_padding(self.padding, k, stride, dilation,
+                                       spatial_shape=x.shape[1:3])
+        out = grouped_conv(x, kernel, stride, pads, dilation,
+                           self.feature_group_count)
+        if bias is not None:
+            out = out + bias
+        return out
+
+
 def simple_gate(x):
     """NAFNet SimpleGate: split channels in half, multiply.
 
@@ -70,6 +208,13 @@ class Conv(nn.Module):
             pad = self.padding
         else:
             pad = [(self.padding, self.padding)] * 2
+        if self.groups > 1:
+            return GroupedConv(
+                features=self.features, kernel_size=(k, k),
+                strides=(self.stride, self.stride), padding=pad,
+                feature_group_count=self.groups, use_bias=self.use_bias,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
+            )(x)
         return nn.Conv(
             features=self.features,
             kernel_size=(k, k),
@@ -96,11 +241,7 @@ def _small_group_conv(x, kern, bias, padding: int, groups: int):
         for i in range(m):
             xi = x[..., i::m]                      # (B,H,W,G)
             kij = kern[:, :, i, j::q][:, :, None, :]  # (kh,kw,1,G)
-            dn = jax.lax.conv_dimension_numbers(
-                xi.shape, kij.shape, ("NHWC", "HWIO", "NHWC"))
-            o = jax.lax.conv_general_dilated(
-                xi, kij, (1, 1), pad, dimension_numbers=dn,
-                feature_group_count=groups)
+            o = grouped_conv(xi, kij, (1, 1), tuple(pad), (1, 1), groups)
             acc = o if acc is None else acc + o
         outs.append(acc)
     out = jnp.stack(outs, axis=-1)                 # (B,H,W,G,q)
@@ -156,16 +297,19 @@ def conv2d(
     groups: int = 1,
 ):
     """Functional NHWC conv with an HWIO kernel (for weight-bank ops like
-    dynamic kernel aggregation where weights are data, not params)."""
-    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
-    out = jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(stride, stride),
-        padding=[(padding, padding)] * 2,
-        dimension_numbers=dn,
-        feature_group_count=groups,
-    )
+    dynamic kernel aggregation where weights are data, not params).
+
+    groups > 1 routes through `grouped_conv` so the kernel gradient (weight
+    banks are differentiated!) stays partition-safe."""
+    pads = ((padding, padding), (padding, padding))
+    if groups > 1:
+        out = grouped_conv(x, kernel, (stride, stride), pads, (1, 1), groups)
+    else:
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(stride, stride), padding=pads,
+            dimension_numbers=dn, feature_group_count=groups)
     if bias is not None:
         out = out + bias
     return out

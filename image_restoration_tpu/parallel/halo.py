@@ -59,11 +59,14 @@ def halo_tiled_apply(
     halo: int,
     axis: str = "spatial",
     scale: int = 1,
+    batch_axis: str | None = None,
 ):
     """Run ``fn`` over the H-sharded image with halo exchange.
 
     fn: (B, h, W, C) -> (B, h*scale, W*scale, C') restorer (jittable).
     x: (B, H, W, C) with H divisible by mesh.shape[axis].
+    batch_axis: optional mesh axis to also shard the batch over (dp x sp
+    eval on a ('data','spatial') mesh); requires B divisible by its size.
     """
 
     def shard_fn(xs):
@@ -71,7 +74,7 @@ def halo_tiled_apply(
         out = fn(padded)
         return out[:, halo * scale : out.shape[1] - halo * scale]
 
-    spec_in = P(None, axis, None, None)
+    spec_in = P(batch_axis, axis, None, None)
     sharded = shard_map(shard_fn, mesh=mesh, in_specs=(spec_in,),
                         out_specs=spec_in, check_rep=False)
     return jax.jit(sharded)(x)
