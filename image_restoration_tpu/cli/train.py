@@ -89,6 +89,80 @@ def make_lr_schedule(cfg, steps_per_epoch: int):
 RECIPE_APPLY_KWARGS = {"darkir": {"side_loss": True}}
 
 
+def build_recipe_kwargs(cfg):
+    """Recipe closures that need host-loaded data (VGG weights)."""
+    if cfg.get("recipe") != "transweather":
+        return {}
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.eval.perceptual import (
+        VGG16Features, vgg16_key_map,
+    )
+
+    vgg = VGG16Features(taps=(3, 8, 15))
+    params = vgg.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 32, 32, 3), jnp.float32))["params"]
+    if cfg.get("vgg_ckpt"):
+        from image_restoration_tpu.utils.torch_import import (
+            import_state_dict, load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(cfg["vgg_ckpt"])
+        sd = {vgg16_key_map(k): v for k, v in sd.items()
+              if vgg16_key_map(k) is not None}
+        params = import_state_dict(params, sd, strict=False)
+    else:
+        print("WARNING: --recipe transweather without --vgg_ckpt: the "
+              "perceptual term uses a random-init VGG (still a valid "
+              "feature metric, but not the paper's)")
+    return {"vgg_params": params}
+
+
+def load_style_filter(cfg, params):
+    """Graft a stage-1 StyleFilter checkpoint under params['style_filter']
+    (the MWFormer two-stage driver, MWFormer/main_train_style.py:1-75 then
+    frozen use in the restoration stage)."""
+    if not cfg.get("style_ckpt"):
+        return params
+    if "style_filter" not in params:
+        raise ValueError("--style_ckpt given but the model has no "
+                         "'style_filter' subtree (use --model mwformer)")
+    import jax.tree as jt
+    import numpy as np
+
+    template = params["style_filter"]
+    # reuse the orbax/npz/torch loading logic with the subtree as template
+    path = cfg["style_ckpt"]
+    if path.endswith(".npz"):
+        from image_restoration_tpu.train.checkpoint import load_params_npz
+
+        loaded = load_params_npz(path, template)
+    elif path.endswith((".pth", ".pt", ".ckpt", ".state")):
+        from image_restoration_tpu.models.mwformer import style_filter_key_map
+        from image_restoration_tpu.utils.torch_import import (
+            import_state_dict, load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(path)
+        sd = {style_filter_key_map(k): v for k, v in sd.items()
+              if style_filter_key_map(k) is not None}
+        loaded = import_state_dict(template, sd)
+    else:
+        from image_restoration_tpu.train.checkpoint import CheckpointManager
+
+        restored, step = CheckpointManager(path).restore_raw()
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        loaded = restored["params"]
+        print(f"style filter: loaded step {step} from {path}")
+        assert jt.structure(jt.map(np.shape, loaded)) == jt.structure(
+            jt.map(np.shape, template)), "style checkpoint/model mismatch"
+    out = dict(params)
+    out["style_filter"] = loaded
+    return out
+
+
 def build_validator(cfg, model, pad_multiple: int = 8):
     """In-training validation closure -> mean PSNR over a paired folder
     (NeRD-Rain train.py:176-189: forward, per-image PSNR, mean)."""
@@ -169,8 +243,11 @@ def main(argv=None, max_steps_override: int | None = None):
         learning_rate=lr_sched, weight_decay=cfg.get("weight_decay", 0.0),
         grad_clip=cfg.get("grad_clip"), ema_decay=cfg.get("ema_decay"),
         loss=cfg["loss"], aux_loss_weight=cfg.get("aux_loss_weight", 0.0),
-        recipe=recipe, apply_kwargs=apply_kwargs,
+        recipe=recipe, recipe_kwargs=build_recipe_kwargs(cfg),
+        apply_kwargs=apply_kwargs,
         plateau=bool(cfg.get("plateau")),
+        accumulate_grad_batches=cfg.get("accumulate_grad_batches", 1),
+        freeze_prefixes=tuple(cfg.get("freeze") or ()),
     )
     tx = make_optimizer(tcfg)
 
@@ -178,8 +255,11 @@ def main(argv=None, max_steps_override: int | None = None):
     sample = next(iter(loader.epoch(0)))
     init_x = jnp.asarray(sample["lq"][:1])
     params = model.init(rng, init_x, **apply_kwargs)["params"]
+    params = load_style_filter(cfg, params)
     print(f"model={cfg['model']} params={count_params(params)/1e6:.2f}M "
           f"total_steps={total_steps}")
+    if tcfg.freeze_prefixes:
+        print(f"frozen param subtrees: {list(tcfg.freeze_prefixes)}")
     state = TrainState.create(params, tx, ema_decay=tcfg.ema_decay)
 
     ckpt = CheckpointManager(os.path.join(exp_dir, "ckpt"),
@@ -236,7 +316,10 @@ def main(argv=None, max_steps_override: int | None = None):
             lq, gt = batch["lq"], batch["gt"]
             if mixup is not None:
                 lq, gt = mixup(jax.random.fold_in(key, 2), lq, gt)
-            state, logs = step_fn(state, {"lq": lq, "gt": gt},
+            step_batch = {"lq": lq, "gt": gt}
+            if recipe == "mwformer_style" and "de_id" in batch:
+                step_batch["de_id"] = batch["de_id"]  # SupCon labels
+            state, logs = step_fn(state, step_batch,
                                   jax.random.fold_in(key, 1))
             if step % cfg.get("log_every", 100) == 0 or step == total_steps - 1:
                 logger.log(step, {k: v for k, v in logs.items()})

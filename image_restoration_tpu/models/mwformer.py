@@ -299,8 +299,16 @@ class MWEnc(nn.Module):
 @register_model("mwformer_backbone")
 class MWFormerBackbone(nn.Module):
     """Network_top (EncDec.py:906-935): restoration backbone conditioned on a
-    precomputed 64-d style vector. No tanh on the output (:932-933)."""
+    precomputed 64-d style vector. No tanh on the output (:932-933). Size
+    fields default to the paper config."""
 
+    embed_dims: Sequence[int] = (64, 128, 320, 512)
+    num_heads: Sequence[int] = (1, 2, 4, 4)
+    mlp_ratios: Sequence[int] = (2, 2, 2, 2)
+    depths: Sequence[int] = (2, 2, 2, 2)
+    sr_ratios: Sequence[int] = (4, 2, 2, 1)
+    dec_depth: int = 3
+    dec_heads: int = 8
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -308,9 +316,16 @@ class MWFormerBackbone(nn.Module):
     def __call__(self, x, feature_vec, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         xc = x.astype(self.dtype) if self.dtype is not None else x
-        enc = MWEnc(name="Tenc", **kw)(xc, feature_vec, train=train)
-        dec = Tdec(name="Tdec", **kw)(enc, train=train)
-        tail = ConvProjection(name="convtail", **kw)(enc, dec)
+        enc = MWEnc(embed_dims=tuple(self.embed_dims),
+                    num_heads=tuple(self.num_heads),
+                    mlp_ratios=tuple(self.mlp_ratios),
+                    depths=tuple(self.depths),
+                    sr_ratios=tuple(self.sr_ratios), name="Tenc", **kw)(
+                        xc, feature_vec, train=train)
+        dec = Tdec(dim=self.embed_dims[3], num_heads=self.dec_heads,
+                   depth=self.dec_depth, name="Tdec", **kw)(enc, train=train)
+        tail = ConvProjection(dims=tuple(self.embed_dims),
+                              name="convtail", **kw)(enc, dec)
         out = Conv(3, 3, padding=1, use_bias=True, name="clean", **kw)(tail)
         return out.astype(jnp.float32)
 
@@ -401,16 +416,35 @@ class StyleFilter(nn.Module):
 @register_model("mwformer")
 class MWFormer(nn.Module):
     """Style filter + backbone end-to-end (the composition MWFormer/test.py
-    runs: vec = StyleFilter(x); out = Network_top(x, vec))."""
+    runs: vec = StyleFilter(x); out = Network_top(x, vec)). The two-stage
+    training driver (MWFormer/main_train_style.py then train.py) maps to
+    cli/train.py: stage 1 trains ``mwformer_style`` with the SupCon recipe,
+    stage 2 trains this model with --style_ckpt + --freeze style_filter."""
 
+    embed_dims: Sequence[int] = (64, 128, 320, 512)
+    num_heads: Sequence[int] = (1, 2, 4, 4)
+    mlp_ratios: Sequence[int] = (2, 2, 2, 2)
+    depths: Sequence[int] = (2, 2, 2, 2)
+    sr_ratios: Sequence[int] = (4, 2, 2, 1)
+    dec_depth: int = 3
+    dec_heads: int = 8
+    style_embed_dims: Sequence[int] = (64, 128)
+    style_depths: Sequence[int] = (2, 2)
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        vec = StyleFilter(name="style_filter", **kw)(x, train=train)
-        return MWFormerBackbone(name="backbone", **kw)(x, vec, train=train)
+        vec = StyleFilter(embed_dims=tuple(self.style_embed_dims),
+                          depths=tuple(self.style_depths),
+                          name="style_filter", **kw)(x, train=train)
+        return MWFormerBackbone(
+            embed_dims=tuple(self.embed_dims), num_heads=tuple(self.num_heads),
+            mlp_ratios=tuple(self.mlp_ratios), depths=tuple(self.depths),
+            sr_ratios=tuple(self.sr_ratios), dec_depth=self.dec_depth,
+            dec_heads=self.dec_heads, name="backbone", **kw)(
+                x, vec, train=train)
 
 
 def mwformer_key_map(key: str):

@@ -365,34 +365,49 @@ def _crop_to_match(x, ref_hw):
 
 
 class ConvProjection(nn.Module):
-    """Upsampling tail with dense skips (:649-712)."""
+    """Upsampling tail with dense skips (:649-712). ``dims`` mirrors the
+    encoder's embed_dims (defaults = the reference's fixed 64/128/320/512);
+    ``tail_dims`` are the final two upsampling widths."""
 
+    dims: Sequence[int] = (64, 128, 320, 512)
+    tail_dims: Sequence[int] = (16, 8)
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, enc, dec):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        res32 = ConvTranspose(512, name="convd32x", **kw)(dec[0])
+        d = self.dims
+        res32 = ConvTranspose(d[3], name="convd32x", **kw)(dec[0])
         res32 = _crop_to_match(res32, enc[3].shape[1:3])
-        res16 = ConvTranspose(320, name="convd16x", **kw)(res32 + enc[3])
+        res16 = ConvTranspose(d[2], name="convd16x", **kw)(res32 + enc[3])
         res16 = _crop_to_match(res16, enc[2].shape[1:3])
-        res8 = ResidualBlock(320, name="dense_4_0", **kw)(res16) + enc[2]
-        res8 = ConvTranspose(128, name="convd8x", **kw)(res8)
-        res4 = ResidualBlock(128, name="dense_3_0", **kw)(res8) + enc[1]
-        res4 = ConvTranspose(64, name="convd4x", **kw)(res4)
-        res2 = ResidualBlock(64, name="dense_2_0", **kw)(res4) + enc[0]
-        res2 = ConvTranspose(16, name="convd2x", **kw)(res2)
-        x = ResidualBlock(16, name="dense_1_0", **kw)(res2)
-        return ConvTranspose(8, name="convd1x", **kw)(x)
+        res8 = ResidualBlock(d[2], name="dense_4_0", **kw)(res16) + enc[2]
+        res8 = ConvTranspose(d[1], name="convd8x", **kw)(res8)
+        res4 = ResidualBlock(d[1], name="dense_3_0", **kw)(res8) + enc[1]
+        res4 = ConvTranspose(d[0], name="convd4x", **kw)(res4)
+        res2 = ResidualBlock(d[0], name="dense_2_0", **kw)(res4) + enc[0]
+        res2 = ConvTranspose(self.tail_dims[0], name="convd2x", **kw)(res2)
+        x = ResidualBlock(self.tail_dims[0], name="dense_1_0", **kw)(res2)
+        return ConvTranspose(self.tail_dims[1], name="convd1x", **kw)(x)
 
 
 @register_model("transweather")
 class Transweather(nn.Module):
     """:807-846. Output = tanh(conv(tail)) in [-1, 1] (the reference trains
     against GT after its own normalization; callers map to [0,1] as the
-    reference eval scripts do)."""
+    reference eval scripts do). Size fields default to the paper config;
+    smaller values give a checkpoint-incompatible but structurally identical
+    net (used by CLI smoke tests)."""
 
+    embed_dims: Sequence[int] = (64, 128, 320, 512)
+    num_heads: Sequence[int] = (1, 2, 4, 4)
+    mlp_ratios: Sequence[int] = (2, 2, 2, 2)
+    depths: Sequence[int] = (2, 2, 2, 2)
+    sr_ratios: Sequence[int] = (4, 2, 2, 1)
+    dec_depth: int = 3
+    dec_heads: int = 8
+    tail_dims: Sequence[int] = (16, 8)
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -400,9 +415,17 @@ class Transweather(nn.Module):
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         xc = x.astype(self.dtype) if self.dtype is not None else x
-        enc = Tenc(name="Tenc", **kw)(xc, train=train)
-        dec = Tdec(name="Tdec", **kw)(enc, train=train)
-        tail = ConvProjection(name="convtail", **kw)(enc, dec)
+        enc = Tenc(embed_dims=tuple(self.embed_dims),
+                   num_heads=tuple(self.num_heads),
+                   mlp_ratios=tuple(self.mlp_ratios),
+                   depths=tuple(self.depths),
+                   sr_ratios=tuple(self.sr_ratios), name="Tenc", **kw)(
+                       xc, train=train)
+        dec = Tdec(dim=self.embed_dims[3], num_heads=self.dec_heads,
+                   depth=self.dec_depth, name="Tdec", **kw)(enc, train=train)
+        tail = ConvProjection(dims=tuple(self.embed_dims),
+                              tail_dims=tuple(self.tail_dims),
+                              name="convtail", **kw)(enc, dec)
         out = Conv(3, 3, padding=1, use_bias=True, name="clean", **kw)(tail)
         return jnp.tanh(out).astype(jnp.float32)
 

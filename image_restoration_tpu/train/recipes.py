@@ -26,6 +26,16 @@ Recipes:
 * ``hogformer``  — L1 + (1-pearson)/2 + HOG-MSE
                    (image_restoration_model.py:303-311: l_pix + l_pear +
                    l_hog; (1-rho)/2 == 0.5 * pearson_loss exactly).
+* ``transweather`` — smooth_l1 + 0.04 * VGG16 perceptual
+                   (TransWeather-main/train.py:161-164; the perceptual term
+                   is relu1_2/2_2/3_3 feature MSE, perceptual.py:8-33).
+                   Pass ``vgg_params`` (imported via utils.torch_import from
+                   a torchvision vgg16 .pth, or a random-init tree in tests).
+* ``mwformer_style`` — stage-1 SupCon over StyleFilter embeddings
+                   (MWFormer/main_train_style.py:1-75: the 64-d style vector
+                   is trained contrastively against weather-type labels,
+                   then frozen for restoration training). The model's output
+                   is the (B, 64) embedding; labels ride ``batch['de_id']``.
 """
 
 from __future__ import annotations
@@ -118,11 +128,54 @@ def hogformer_recipe(pix_w: float = 1.0, pearson_w: float = 0.5,
     return fn
 
 
+def transweather_recipe(vgg_params=None, perceptual_w: float = 0.04,
+                        taps=(3, 8, 15), beta: float = 1.0) -> LossFn:
+    """smooth_l1 + 0.04 * perceptual (TransWeather-main/train.py:161-164).
+
+    ``vgg_params``: param tree for eval/perceptual.VGG16Features at the
+    torchvision relu1_2/2_2/3_3 taps. Without it the recipe degrades to
+    smooth_l1 alone (logged so the omission is visible)."""
+    from image_restoration_tpu.eval.perceptual import (
+        VGG16Features, perceptual_loss,
+    )
+
+    vgg = VGG16Features(taps=tuple(taps))
+
+    def fn(out, aux, batch):
+        pred, gt = _primary(out), batch["gt"]
+        sl1 = L.smooth_l1_loss(pred, gt, beta=beta)
+        logs = {"smooth_l1": sl1}
+        total = sl1
+        if vgg_params is not None:
+            perc = perceptual_loss(vgg, vgg_params, pred, gt, criterion="mse")
+            total = total + perceptual_w * perc
+            logs["perceptual"] = perc
+        return total, logs
+
+    return fn
+
+
+def mwformer_style_recipe(temperature: float = 0.1) -> LossFn:
+    """Stage-1 style training: SupCon over the StyleFilter's 64-d embeddings
+    with the degradation id as the label (MWFormer/main_train_style.py:1-75).
+    Use with ``--model mwformer_style``; stage 2 then freezes the trained
+    filter inside the full MWFormer (cli/train.py --style_ckpt/--freeze)."""
+
+    def fn(out, aux, batch):
+        emb = _primary(out).astype(jnp.float32)
+        loss = L.supcon_loss(emb, batch["de_id"], temperature=temperature)
+        return loss, {"supcon": loss}
+
+    return fn
+
+
 RECIPES: dict[str, Callable[..., LossFn]] = {
     "default": default_recipe,
     "nerd_rain": nerd_rain_recipe,
     "darkir": darkir_recipe,
     "hogformer": hogformer_recipe,
+    "transweather": transweather_recipe,
+    "mwformer_style": mwformer_style_recipe,
 }
 
 

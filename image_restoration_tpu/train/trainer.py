@@ -57,6 +57,11 @@ class TrainerConfig:
     plateau: bool = False                   # enable host-driven LR scaling
     # (ReduceLROnPlateau, BasicSR train.py:285-293): appends an injected
     # step_size multiplier the host mutates via set_lr_scale
+    accumulate_grad_batches: int = 1        # optax.MultiSteps micro-batching
+    # (Lightning accumulate_grad_batches, MoCE-IR-main/src/train.py:128-135)
+    freeze_prefixes: tuple = ()             # top-level param subtrees whose
+    # updates are zeroed (MWFormer stage 2 freezes the trained style filter,
+    # MWFormer/train.py usage of the stage-1 checkpoint)
 
 
 def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
@@ -83,7 +88,22 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
         # opt_state (InjectHyperparamsState) so the host can change it
         # without retracing the compiled step.
         chain.append(optax.inject_hyperparams(optax.scale)(step_size=1.0))
-    return optax.chain(*chain)
+    if cfg.freeze_prefixes:
+        prefixes = tuple(cfg.freeze_prefixes)
+
+        def freeze_mask(params):
+            return {k: jax.tree.map(
+                lambda _: any(k == p or k.startswith(p) for p in prefixes), v)
+                for k, v in params.items()}
+
+        # zero the frozen subtrees' updates LAST so weight decay can't leak
+        chain.append(optax.masked(optax.set_to_zero(), freeze_mask))
+    tx = optax.chain(*chain)
+    if cfg.accumulate_grad_batches > 1:
+        # N micro-steps average their grads into one optimizer step; updates
+        # are zero in between (Lightning accumulate_grad_batches semantics)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_grad_batches)
+    return tx
 
 
 def set_lr_scale(opt_state, scale: float):
@@ -170,7 +190,16 @@ def make_train_step(
         ema = state.ema_params
         if ema is not None:
             d = cfg.ema_decay
-            ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p, ema, params)
+            if cfg.accumulate_grad_batches > 1:
+                # EMA ticks once per OPTIMIZER step, not per micro-batch:
+                # MultiSteps wraps back to mini_step==0 right after it
+                # applies the accumulated update.
+                applied = opt_state.mini_step == 0
+                ema = jax.tree.map(
+                    lambda e, p: jnp.where(applied, d * e + (1 - d) * p, e),
+                    ema, params)
+            else:
+                ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p, ema, params)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state, ema_params=ema)
         return new_state, logs
@@ -178,10 +207,11 @@ def make_train_step(
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        batch_sh = {"lq": data, "gt": data}
+        # `data` is a pytree PREFIX: every batch leaf (lq/gt plus any recipe
+        # extras like de_id) shards its leading axis over 'data'
         return jax.jit(
             step_fn,
-            in_shardings=(repl, batch_sh, repl),
+            in_shardings=(repl, data, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,) if donate else (),
         )

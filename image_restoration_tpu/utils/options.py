@@ -120,6 +120,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prog_gt_sizes", nargs="+", type=int, default=None)
     p.add_argument("--prog_batch_sizes", nargs="+", type=int, default=None)
     # plateau LR (BasicSR ReduceLROnPlateau branch, train.py:285-293)
+    p.add_argument("--accumulate_grad_batches", type=int, default=1,
+                   help="micro-steps per optimizer step (Lightning "
+                        "accumulate_grad_batches, MoCE-IR train.py:128-135)")
+    p.add_argument("--freeze", nargs="+", default=None,
+                   help="top-level param subtree prefixes to freeze "
+                        "(e.g. style_filter for MWFormer stage 2)")
+    p.add_argument("--style_ckpt", type=str, default=None,
+                   help="stage-1 StyleFilter checkpoint (orbax dir/.npz/.pth) "
+                        "grafted under params['style_filter'] "
+                        "(MWFormer/main_train_style.py two-stage driver)")
+    p.add_argument("--vgg_ckpt", type=str, default=None,
+                   help="torchvision vgg16 .pth for the transweather "
+                        "perceptual recipe (train.py:161-164)")
     p.add_argument("--plateau", action="store_true")
     p.add_argument("--plateau_factor", type=float, default=0.5)
     p.add_argument("--plateau_patience", type=int, default=3)
