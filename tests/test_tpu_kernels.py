@@ -124,3 +124,31 @@ def test_fused_block_canvas_roundtrip(c, h, w, heads, ln_type, bias):
     x = jnp.asarray(rng.normal(size=(1, h, w, c)).astype("float32"))
     back = canvas_unpad(canvas_pad(x), w, c)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0)
+
+
+def test_dwconv_taps_path_exact():
+    """ops.common.Conv's TPU depthwise shift-FMA path (k<=5, stride 1) must
+    match an fp64 host reference — it runs on the VPU in true fp32, unlike
+    the conv op whose default-precision MXU pass rounds to bf16 (~1e-2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.ops.common import Conv
+
+    rng = np.random.default_rng(0)
+    for k in (3, 5):
+        p = k // 2
+        x = jnp.asarray(rng.standard_normal((2, 33, 29, 16)), jnp.float32)
+        m = Conv(16, k, padding=p, groups=16, use_bias=True)
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = np.asarray(m.apply(params, x))
+        kern = np.asarray(params["params"]["conv"]["kernel"], np.float64)
+        bias = np.asarray(params["params"]["conv"]["bias"], np.float64)
+        xp = np.pad(np.asarray(x, np.float64),
+                    ((0, 0), (p, p), (p, p), (0, 0)))
+        ref = np.zeros((2, 33, 29, 16))
+        for dy in range(k):
+            for dx in range(k):
+                ref += xp[:, dy:dy + 33, dx:dx + 29, :] * kern[dy, dx, 0]
+        ref += bias
+        np.testing.assert_allclose(y, ref, atol=1e-5)
