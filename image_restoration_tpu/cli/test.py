@@ -52,6 +52,44 @@ def load_params(cfg, model, init_x):
     return loaded  # host numpy; first jit call ships it in one transfer
 
 
+def run_unpaired(cfg, model, params):
+    """No-ground-truth evaluation: restore every image under --lq_dir and
+    report mean NIQE of outputs (and of the degraded inputs, for the delta)
+    — DarkIR-main/testing_unpaired.py's protocol with the repo's NIQE
+    (MUSIQ/NRQM need pretrained torch weights this image does not ship)."""
+    import numpy as np
+
+    from image_restoration_tpu.cli.infer import (
+        list_images, load_image, make_restore_fn, save_image,
+    )
+    from image_restoration_tpu.eval.niqe import calculate_niqe
+
+    src = cfg.get("lq_dir") or cfg.get("input")
+    if not src:
+        raise SystemExit("--unpaired needs --lq_dir (folder of inputs)")
+    restore = make_restore_fn(cfg, model, params)
+    out_dir = cfg.get("output_dir", "results")
+    os.makedirs(out_dir, exist_ok=True)
+    niqe_in, niqe_out = [], []
+    for p in list_images(src):
+        img = load_image(p)
+        res = restore(img)
+        niqe_in.append(calculate_niqe(img, params_path=cfg.get("niqe_params")))
+        niqe_out.append(calculate_niqe(res, params_path=cfg.get("niqe_params")))
+        if cfg.get("save_images"):
+            save_image(os.path.join(cfg["save_images"], os.path.basename(p)),
+                       res)
+    results = {"unpaired": {"n": len(niqe_out),
+                            "niqe": float(np.mean(niqe_out)),
+                            "niqe_input": float(np.mean(niqe_in))}}
+    print(f"unpaired: NIQE {results['unpaired']['niqe']:.4f} "
+          f"(input {results['unpaired']['niqe_input']:.4f}) | "
+          f"{len(niqe_out)} images")
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
 def main(argv=None):
     from image_restoration_tpu.cli.train import build_model
     from image_restoration_tpu.eval.benchmarks import MODE_TO_BENCHMARKS, run_benchmark
@@ -61,6 +99,9 @@ def main(argv=None):
     model = build_model(cfg)
     init_x = jnp.zeros((1, 64, 64, 3), jnp.float32)
     params = load_params(cfg, model, init_x)
+
+    if cfg.get("unpaired"):
+        return run_unpaired(cfg, model, params)
 
     @jax.jit
     def fn(x):

@@ -169,6 +169,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pad_multiple", type=int, default=8)
     p.add_argument("--save_images", type=str, default=None)
     p.add_argument("--output_dir", type=str, default="results")
+    p.add_argument("--input", type=str, default=None,
+                   help="cli.infer source: image file, folder, frame "
+                        "sequence dir, or (with ffmpeg on PATH) video file")
+    p.add_argument("--fps", type=int, default=24,
+                   help="output frame rate when re-encoding video")
+    p.add_argument("--unpaired", action="store_true",
+                   help="no-GT eval: restore --lq_dir and report NIQE "
+                        "(DarkIR testing_unpaired.py analog)")
+    p.add_argument("--niqe_params", type=str, default=None,
+                   help="niqe_pris_params.npz path (defaults to the "
+                        "reference's copy when mounted)")
     return p
 
 
