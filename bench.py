@@ -15,6 +15,25 @@ measures secondary models and writes BENCH_secondary.json; the default
 (driver) invocation benches Restormer only and embeds any previously
 recorded secondary results in the same single JSON line.
 
+ROOFLINE FIELDS
+---------------
+Each benched model also reports a measured roofline placement:
+
+* ``hbm_gb_per_img`` / ``achieved_gbps`` — XLA's post-fusion HLO cost
+  analysis "bytes accessed" of the *shipped* program (loop body counted
+  once, verified), i.e. operand+output HBM traffic per forward including
+  Pallas custom-call operands. Divided by measured time => achieved GB/s,
+  compared against v5e's ~819 GB/s HBM.
+* ``gflop_per_img`` / ``achieved_tflops`` / ``pct_peak_bf16`` — algorithmic
+  FLOPs per forward. XLA cannot see inside Pallas custom calls, so for
+  models shipping the fused whole-block kernel the FLOPs are taken from a
+  one-time compile of the *unfused* (pure-XLA) variant and cached in
+  ``tools/roofline_static.json`` (committed; keyed by model@size so driver
+  runs never pay the extra compile). Peak = 197 TFLOP/s bf16 (v5e).
+* ``bound`` — which wall is closer: "bandwidth" if pct_peak_hbm >
+  pct_peak_bf16 else "compute". This is the measured answer to "is 4.9
+  MP/s the HBM floor?" that COVERAGE.md previously only inferred.
+
 A100 BASELINE DERIVATION (the vs_baseline denominator)
 ------------------------------------------------------
 No measured A100 number for this exact model is published in the reference
@@ -47,19 +66,26 @@ import sys
 import time
 
 A100_MPS = 2.0
+V5E_PEAK_BF16_TFLOPS = 197.0   # TPU v5e per-chip bf16 peak
+V5E_HBM_GBPS = 819.0           # TPU v5e per-chip HBM bandwidth
 REPO = os.path.dirname(os.path.abspath(__file__))
+STATIC_PATH = os.path.join(REPO, "tools", "roofline_static.json")
+
+# models whose benched config ships Pallas whole-block kernels, hiding
+# their FLOPs from XLA cost analysis (see ROOFLINE FIELDS above)
+FUSED = {"restormer", "moce_ir", "adair", "nerd_rain"}
 
 
-def _bench_model(model, x, chain):
+def _fill_params(model, x):
+    """Shapes-only init: weight VALUES don't affect timing, and eval_shape
+    skips the ~3 min on-device init compile. Leaves are filled with
+    init-LIKE statistics (lecun-normal kernels, ones for 1-D scales like
+    LN/temperature, zeros for biases) so the numerics stay live — an
+    all-zero or all-constant net zeroes the LN output and hides
+    NaN-producing kernel bugs (MDTA L2-normalizes a zero vector)."""
     import jax
     import jax.numpy as jnp
 
-    # Shapes-only init: weight VALUES don't affect timing, and eval_shape
-    # skips the ~3 min on-device init compile. Leaves are filled with
-    # init-LIKE statistics (lecun-normal kernels, ones for 1-D scales like
-    # LN/temperature, zeros for biases) so the numerics stay live — an
-    # all-zero or all-constant net zeroes the LN output and hides
-    # NaN-producing kernel bugs (MDTA L2-normalizes a zero vector).
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
     leaves, treedef = jax.tree.flatten(shapes)
 
@@ -72,13 +98,23 @@ def _bench_model(model, x, chain):
                     / (fan_in ** 0.5)).astype(s.dtype)
         # 1-D params: ones keeps LN scales live; a 1.0 bias is harmless
         return jnp.ones(s.shape, s.dtype)
-    params = jax.tree.unflatten(treedef, [fill(i, s) for i, s in enumerate(leaves)])
+    return jax.tree.unflatten(treedef, [fill(i, s) for i, s in enumerate(leaves)])
+
+
+def _chain_program(model, x, chain):
+    """AOT-compile the chained-forward program; return the compiled callable
+    and its per-forward cost analysis (XLA counts a while-loop body ONCE
+    regardless of trip count — verified — so the chain program's totals ARE
+    per-forward numbers up to the tiny clip/sum glue)."""
+    import jax
+    import jax.numpy as jnp
+
+    params = _fill_params(model, x)
 
     def apply(v, inp):
         out = model.apply(v, inp)
         return out[0] if isinstance(out, tuple) else out
 
-    @jax.jit
     def fwd_chain(v, inp):
         def body(_, acc):
             nxt = apply(v, jnp.clip(acc, -1.0, 2.0) * 0.999)
@@ -87,18 +123,77 @@ def _bench_model(model, x, chain):
 
         return jnp.sum(jax.lax.fori_loop(0, chain, body, inp))
 
-    val = float(fwd_chain(params, x))  # compile + warmup, forced via readback
-    assert val == val, "benchmark forward produced NaN"
+    compiled = jax.jit(fwd_chain).lower(params, x).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
+    return compiled, params, ca
 
+
+def _bench_compiled(compiled, params, x, chain):
+    val = float(compiled(params, x))  # warmup, forced via readback
+    assert val == val, "benchmark forward produced NaN"
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        float(fwd_chain(params, x))  # readback forces full execution
+        float(compiled(params, x))  # readback forces full execution
         best = min(best, (time.perf_counter() - t0) / chain)
     return best
 
 
-def _make(name):
+def _static_flops(name, size, skip_static):
+    """Algorithmic FLOPs/img for fused-kernel models, from a one-time
+    compile of the unfused variant, cached in tools/roofline_static.json."""
+    cache = {}
+    if os.path.exists(STATIC_PATH):
+        cache = json.load(open(STATIC_PATH))
+    key = f"{name}@{size}"
+    if key in cache:
+        return cache[key]
+    if skip_static:
+        return None
+    model, size2, _ = _make(name, fused=False)
+    assert size2 == size
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.random.uniform(jax.random.PRNGKey(7), (1, size, size, 3),
+                           jnp.float32, 0.2, 0.8)
+    _, _, ca = _chain_program(model, x, 1)
+    flops = float(ca.get("flops", 0.0))
+    cache[key] = flops
+    os.makedirs(os.path.dirname(STATIC_PATH), exist_ok=True)
+    with open(STATIC_PATH, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+    return flops
+
+
+def _roofline(name, size, secs, ca, skip_static):
+    flops = float(ca.get("flops", 0.0))
+    src = "xla_shipped"
+    if name in FUSED:
+        static = _static_flops(name, size, skip_static)
+        if static is not None:
+            flops, src = static, "xla_unfused_cached"
+    hbm_bytes = float(ca.get("bytes accessed", 0.0))
+    tflops = flops / secs / 1e12
+    gbps = hbm_bytes / secs / 1e9
+    pct_bf16 = 100.0 * tflops / V5E_PEAK_BF16_TFLOPS
+    pct_hbm = 100.0 * gbps / V5E_HBM_GBPS
+    return {
+        "ms_per_img": round(secs * 1e3, 3),
+        "gflop_per_img": round(flops / 1e9, 1),
+        "achieved_tflops": round(tflops, 2),
+        "pct_peak_bf16": round(pct_bf16, 1),
+        "hbm_gb_per_img": round(hbm_bytes / 1e9, 3),
+        "achieved_gbps": round(gbps, 1),
+        "pct_peak_hbm": round(pct_hbm, 1),
+        "bound": "bandwidth" if pct_hbm >= pct_bf16 else "compute",
+        "flops_source": src,
+    }
+
+
+def _make(name, fused=True):
+    """Returns (model, input_size, chain_length)."""
     import jax.numpy as jnp
 
     if name == "restormer":
@@ -107,31 +202,38 @@ def _make(name):
         # fused_block: whole-block 2-pass canvas kernel (block_pallas.py)
         #   — q/k never touch HBM; one persistent canvas per level
         # scan_blocks: nn.scan per level — ~4x faster compile, ~5% faster run
-        return Restormer(dtype=jnp.bfloat16, fused_block=True,
+        return Restormer(dtype=jnp.bfloat16, fused_block=fused,
                          scan_blocks=True), 512, 48
     from image_restoration_tpu.models import get_model
     from image_restoration_tpu.utils.options import MODEL_DEFAULTS
 
-    if name in ("moce_ir", "srconvnet", "darkir", "transweather", "nerd_rain",
-                "adair"):
+    known = ("moce_ir", "srconvnet", "darkir", "transweather", "nerd_rain",
+             "adair", "hogformer", "drsformer", "sfhformer", "measnet",
+             "igmoce_ir", "cg_ir", "lumisense_moe", "mwformer", "vig")
+    if name in known:
         # moce_ir: the big config (MoCE-IR-main/src/options.py:69-84), the
         # CDD-11 BASELINE entry, with the encoder canvas kernel + per-level
         # scan. srconvnet: SRConvNet-L x4 (512^2 -> 2048^2). darkir: DarkIR-m.
-        # transweather / nerd_rain: remaining BASELINE families at defaults.
-        # adair: Restormer-geometry U-Net + FreModules; rides the same
-        # whole-block canvas kernel + per-level scan via BlockStackMixin.
+        # remaining families at their MODEL_DEFAULTS (reference configs).
+        # vig: 224^2 classification backbone (its native geometry).
         kw = {k: tuple(v) if isinstance(v, list) else v
               for k, v in MODEL_DEFAULTS[name].items()}
-        if name in ("moce_ir", "adair", "nerd_rain"):
-            kw.update(fused_block=True, scan_blocks=True)
-        chain = {"nerd_rain": 12}.get(name, 24)
-        return get_model(name, dtype=jnp.bfloat16, **kw), 512, chain
+        if name in FUSED:
+            kw.update(fused_block=fused, scan_blocks=True)
+        chain = {"nerd_rain": 12, "hogformer": 8, "drsformer": 8,
+                 "igmoce_ir": 8, "cg_ir": 8, "lumisense_moe": 8,
+                 "measnet": 8, "mwformer": 16, "sfhformer": 16,
+                 "vig": 48}.get(name, 24)
+        size = 224 if name == "vig" else 512
+        return get_model(name, dtype=jnp.bfloat16, **kw), size, chain
     raise KeyError(name)
 
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     models = ["restormer"]
+    skip_static = "--no-static" in argv
+    argv = [a for a in argv if a != "--no-static"]
     for a in argv:
         if a.startswith("--models"):
             models = a.split("=", 1)[1].split(",") if "=" in a else None
@@ -146,24 +248,27 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
 
-    results = {}
+    results, rooflines = {}, {}
     for name in models:
         model, size, chain = _make(name)
         x = jax.random.uniform(jax.random.PRNGKey(7), (1, size, size, 3),
                                jnp.float32, 0.2, 0.8)
-        secs = _bench_model(model, x, chain)
+        compiled, params, ca = _chain_program(model, x, chain)
+        secs = _bench_compiled(compiled, params, x, chain)
         results[name] = round(size * size / secs / 1e6, 3)
+        rooflines[name] = _roofline(name, size, secs, ca, skip_static)
 
     if models != ["restormer"]:
         sec_path = os.path.join(REPO, "BENCH_secondary.json")
         merged = {}
         if os.path.exists(sec_path):  # keep other models' entries
             merged = json.load(open(sec_path))
-        merged.update({f"{k}512_mps": v for k, v in results.items()})
+        for k, v in results.items():
+            merged[f"{k}512_mps" if k != "vig" else "vig224_mps"] = v
+            merged[f"{k}_roofline"] = rooflines[k]
         with open(sec_path, "w") as f:
-            json.dump(merged, f)
+            json.dump(merged, f, indent=1, sort_keys=True)
 
-    line = None
     if "restormer" in results:
         mps = results["restormer"]
         line = {
@@ -171,6 +276,7 @@ def main(argv=None):
             "value": mps,
             "unit": "megapixels/s/chip",
             "vs_baseline": round(mps / A100_MPS, 3),
+            "roofline": rooflines["restormer"],
         }
         sec_path = os.path.join(REPO, "BENCH_secondary.json")
         if os.path.exists(sec_path):
@@ -178,7 +284,8 @@ def main(argv=None):
         print(json.dumps(line))
     else:
         print(json.dumps({"metric": ",".join(models), "value": results,
-                          "unit": "megapixels/s/chip", "vs_baseline": None}))
+                          "unit": "megapixels/s/chip", "vs_baseline": None,
+                          "roofline": rooflines}))
 
 
 if __name__ == "__main__":

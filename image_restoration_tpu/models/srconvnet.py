@@ -51,7 +51,8 @@ class FConvMod(nn.Module):
         shortcut = x
         pos = Conv(c, 3, padding=1, groups=c, use_bias=True, name="CPE", **kw)(x)
         xn = LayerNorm2d(eps=1e-6, param_dtype=self.param_dtype, name="norm")(x)
-        a = FourierUnit(c, param_dtype=self.param_dtype, name="a")(xn)
+        a = FourierUnit(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="a")(xn)
         v = Conv(c, 1, use_bias=True, name="v", **kw)(xn)
         # (B,H,W,C) with head-major channels -> logits per (head, ch) over HW
         am = (a * v).reshape(b, h * w, heads, ch)
