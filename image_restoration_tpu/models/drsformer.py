@@ -63,15 +63,20 @@ class TKSA(nn.Module):
                             preferred_element_type=jnp.float32)
         logits = logits * temperature.reshape(1, heads, 1, 1).astype(jnp.float32)
 
-        out = 0.0
+        # sum_i mix_i * (attn_i @ v) == (sum_i mix_i * attn_i) @ v: fold the
+        # learnable mix into the tiny (heads, C, C) matrices and apply V
+        # ONCE — 4x fewer passes over the (HW, C) value tensor, exact math
+        # (fp32 accumulation of the mix happens before the einsum instead of
+        # after, which only tightens it).
+        attn_sum = 0.0
         for i, frac in enumerate((1 / 2, 2 / 3, 3 / 4, 4 / 5)):
             kk = int(ch * frac)
             thresh = jax.lax.top_k(logits, kk)[0][..., -1:]
             masked = jnp.where(logits >= thresh, logits, -jnp.inf)
-            attn = jax.nn.softmax(masked, axis=-1).astype(x.dtype)
-            o = jnp.einsum("bhcd,bnhd->bnhc", attn, vt,
-                           preferred_element_type=jnp.float32).astype(x.dtype)
-            out = out + o * mix[i].astype(x.dtype)
+            attn = jax.nn.softmax(masked, axis=-1)
+            attn_sum = attn_sum + attn * mix[i].astype(jnp.float32)
+        out = jnp.einsum("bhcd,bnhd->bnhc", attn_sum.astype(x.dtype), vt,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(b, h, w, c)
         return Conv(c, 1, use_bias=self.use_bias, name="project_out", **kw)(out)
 

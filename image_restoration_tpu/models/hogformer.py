@@ -105,7 +105,7 @@ class FFN_DIFF(nn.Module):
     """hogformer_arch.py:106-143."""
 
     dim: int
-    expansion: float = 2.66
+    expansion: float = 2.667
     use_bias: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -271,7 +271,7 @@ class TransformerBlock(nn.Module):
 
     dim: int
     num_heads: int
-    expansion: float = 2.66
+    expansion: float = 2.667
     use_bias: bool = False
     ln_type: str = "WithBias"
     dtype: Any = None
@@ -345,7 +345,7 @@ class HOGformer(nn.Module):
     num_blocks: Sequence[int] = (4, 6, 6, 8)
     num_refinement_blocks: int = 4
     heads: Sequence[int] = (1, 2, 4, 8)
-    ffn_expansion_factor: float = 2.66
+    ffn_expansion_factor: float = 2.667
     use_bias: bool = False
     ln_type: str = "WithBias"
     dual_pixel_task: bool = False

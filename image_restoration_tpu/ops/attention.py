@@ -153,17 +153,19 @@ class SparseTopKMDTA(nn.Module):
         logits = jnp.einsum("bnhc,bnhd->bhcd", q, k, preferred_element_type=jnp.float32)
         logits = logits * temperature.reshape(1, heads, 1, 1).astype(jnp.float32)
 
-        out = 0.0
+        # (1/N) * sum_f (attn_f @ v) == ((1/N) * sum_f attn_f) @ v: average
+        # the tiny (heads, C, C) matrices first, then apply V once.
+        attn_sum = 0.0
         for frac in self.top_k_fracs:
             kk = max(1, int(ch * frac))
             thresh = jax.lax.top_k(logits, kk)[0][..., -1:]
             masked = jnp.where(logits >= thresh, logits, -jnp.inf)
-            attn = jax.nn.softmax(masked, axis=-1)
-            out = out + jnp.einsum(
-                "bhcd,bnhd->bnhc", attn.astype(v.dtype), v,
-                preferred_element_type=jnp.float32,
-            )
-        out = (out / len(self.top_k_fracs)).astype(x.dtype).reshape(b, h, w, d)
+            attn_sum = attn_sum + jax.nn.softmax(masked, axis=-1)
+        attn_sum = attn_sum / len(self.top_k_fracs)
+        out = jnp.einsum(
+            "bhcd,bnhd->bnhc", attn_sum.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype).reshape(b, h, w, d)
         return Conv(d, 1, use_bias=self.use_bias, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="project_out")(out)
 

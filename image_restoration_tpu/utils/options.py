@@ -48,7 +48,7 @@ MODEL_DEFAULTS: Dict[str, Dict[str, Any]] = {
     "nerd_rain": dict(dim=48, num_blocks=[2, 3, 3], heads=[1, 2, 4]),
     "drsformer": dict(dim=48, num_blocks=[4, 6, 6, 8], heads=[1, 2, 4, 8]),
     "sfhformer": dict(),
-    "hogformer": dict(dim=36, num_blocks=[4, 6, 6, 8], heads=[1, 2, 4, 8]),
+    "hogformer": dict(dim=36, num_blocks=[4, 4, 6, 8], heads=[1, 2, 4, 8]),
     "cg_ir": dict(dim=48, num_blocks=[4, 6, 6, 8], heads=[1, 2, 4, 8]),
     "igmoce_ir": dict(dim=48, num_blocks=[4, 6, 6, 8], heads=[1, 2, 4, 8]),
     "measnet": dict(dim=32),
