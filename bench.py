@@ -179,7 +179,14 @@ def _roofline(name, size, secs, ca, skip_static):
     gbps = hbm_bytes / secs / 1e9
     pct_bf16 = 100.0 * tflops / V5E_PEAK_BF16_TFLOPS
     pct_hbm = 100.0 * gbps / V5E_HBM_GBPS
-    return {
+    # Which wall is closer? Below 50% of both, neither wall binds — the
+    # model is limited by kernel-internal throughput (thin-channel VPU
+    # work, transposes, sort networks), not by HBM or the MXU.
+    if max(pct_hbm, pct_bf16) < 50.0:
+        bound = "kernel"
+    else:
+        bound = "bandwidth" if pct_hbm >= pct_bf16 else "compute"
+    out = {
         "ms_per_img": round(secs * 1e3, 3),
         "gflop_per_img": round(flops / 1e9, 1),
         "achieved_tflops": round(tflops, 2),
@@ -187,9 +194,15 @@ def _roofline(name, size, secs, ca, skip_static):
         "hbm_gb_per_img": round(hbm_bytes / 1e9, 3),
         "achieved_gbps": round(gbps, 1),
         "pct_peak_hbm": round(pct_hbm, 1),
-        "bound": "bandwidth" if pct_hbm >= pct_bf16 else "compute",
+        "bound": bound,
         "flops_source": src,
     }
+    if pct_hbm > 100.0:
+        # "bytes accessed" is operand+output bytes of every fusion; buffers
+        # reused out of CMEM/VMEM across consumers get double-counted, so
+        # >100% means the estimate is an UPPER bound on true traffic.
+        out["note"] = "bytes-accessed exceeds HBM peak: upper bound (fusion reuse)"
+    return out
 
 
 def _make(name, fused=True):

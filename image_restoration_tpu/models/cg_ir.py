@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
-from image_restoration_tpu.ops.attention import l2_normalize
+from image_restoration_tpu.ops.attention import normalized_channel_logits
 from image_restoration_tpu.ops.common import Conv, gelu_exact
 from image_restoration_tpu.ops.ffn import GDFN
 from image_restoration_tpu.ops.layernorm import LayerNorm, WithBiasLayerNorm
@@ -166,10 +166,8 @@ class ContextAdaptiveGatedAttention(nn.Module):
         def split_heads(t):
             return t.reshape(b, h * w, heads, ch)
 
-        qn = l2_normalize(split_heads(q).astype(jnp.float32), axis=1)
-        kn = l2_normalize(split_heads(k).astype(jnp.float32), axis=1)
-        attn = jnp.einsum("bnhc,bnhd->bhcd", qn, kn,
-                          preferred_element_type=jnp.float32) * total_temp
+        attn = normalized_channel_logits(split_heads(q),
+                                         split_heads(k)) * total_temp
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhcd,bnhd->bnhc", attn, split_heads(v),
                          preferred_element_type=jnp.float32).astype(x.dtype)

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
-from image_restoration_tpu.ops.attention import l2_normalize
 from image_restoration_tpu.ops.common import Conv, GroupedConv
 from image_restoration_tpu.ops.layernorm import LayerNorm
 from image_restoration_tpu.ops.resample import Downsample, Upsample
@@ -56,11 +55,22 @@ class TKSA(nn.Module):
         def split_heads(t):
             return t.reshape(b, h * w, heads, ch)
 
-        qn = l2_normalize(split_heads(q).astype(jnp.float32), axis=1)
-        kn = l2_normalize(split_heads(k).astype(jnp.float32), axis=1)
-        vt = split_heads(v)
-        logits = jnp.einsum("bnhc,bnhd->bhcd", qn, kn,
+        # L2 normalization over the HW axis commutes with the q.k^T
+        # contraction: contract RAW q/k (one pass over the big (HW, C)
+        # tensors, fp32 accumulation) and rescale the tiny (C, C) product by
+        # the outer product of the channel norms — no fp32 materialization
+        # of q/k and no separate normalize passes. torch F.normalize's
+        # max(||.||, eps) clamp is applied to the norms identically.
+        qh, kh, vt = split_heads(q), split_heads(k), split_heads(v)
+        logits = jnp.einsum("bnhc,bnhd->bhcd", qh, kh,
                             preferred_element_type=jnp.float32)
+        qn = jnp.sqrt(jnp.einsum("bnhc,bnhc->bhc", qh, qh,
+                                 preferred_element_type=jnp.float32))
+        kn = jnp.sqrt(jnp.einsum("bnhc,bnhc->bhc", kh, kh,
+                                 preferred_element_type=jnp.float32))
+        denom = (jnp.maximum(qn, 1e-12)[:, :, :, None]
+                 * jnp.maximum(kn, 1e-12)[:, :, None, :])
+        logits = logits / denom
         logits = logits * temperature.reshape(1, heads, 1, 1).astype(jnp.float32)
 
         # sum_i mix_i * (attn_i @ v) == (sum_i mix_i * attn_i) @ v: fold the

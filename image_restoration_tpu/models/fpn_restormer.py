@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
+from image_restoration_tpu.ops.attention import normalized_channel_logits_tok_minor
 from image_restoration_tpu.ops.common import Conv, GroupedConv, gelu_exact
 from image_restoration_tpu.ops.ffn import GDFN
 from image_restoration_tpu.ops.layernorm import BatchNorm2d, LayerNorm
@@ -126,12 +127,9 @@ class GatedMDTA(nn.Module):
             return t.reshape(b, h * w, heads, cph).transpose(0, 2, 3, 1)
 
         qh, kh, vh = hm(q), hm(k), hm(v)
-        qh = qh / jnp.maximum(jnp.linalg.norm(qh, axis=-1, keepdims=True), 1e-12)
-        kh = kh / jnp.maximum(jnp.linalg.norm(kh, axis=-1, keepdims=True), 1e-12)
         temp = self.param("temperature", nn.initializers.ones,
                           (heads, 1, 1), self.param_dtype)
-        attn = jnp.einsum("bhct,bhdt->bhcd", qh, kh,
-                          preferred_element_type=jnp.float32) * temp
+        attn = normalized_channel_logits_tok_minor(qh, kh) * temp
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhcd,bhdt->bhct", attn, vh,
                          preferred_element_type=jnp.float32).astype(v.dtype)

@@ -17,10 +17,17 @@ Re-designed from the behavior of the reference
 * U-Net assembly (:367-489) with AvgPool ``SkipPatchEmbed`` image pyramids
   injected into each encoder level (:326-339, :434-439).
 
-TPU notes: sorts are ``jnp.argsort`` (XLA sort on device); the inverse
-permutation "scatter" of the reference (:299-306) is a gather by
-``argsort(idx)``; the per-bin HOG histogram python loop (:254-258) is a
-one-hot einsum; everything is static-shape.
+TPU notes: sorts are ``jnp.argsort`` (XLA sort on device). Within-patch
+permutations (64 tokens) are applied as one-hot MATMULS — a permutation
+matrix ride on the MXU beats a minor-axis gather, and the inverse
+permutation is the transposed matmul of the same one-hot (exact: one
+nonzero per row). The global token un-sort of the reference (:299-306) is
+a gather by the inverse permutation, built with a one-pass scatter of iota
+rather than a second O(T log^2 T) argsort; the two attention branches are
+multiplied while still sorted (elementwise product commutes with a shared
+permutation) so only ONE inverse gather runs. The per-bin HOG histogram
+python loop (:254-258) is a fused multiply+reduce over a one-hot;
+everything is static-shape.
 """
 
 from __future__ import annotations
@@ -34,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from image_restoration_tpu.models.registry import register_model
+from image_restoration_tpu.ops.attention import normalized_channel_logits_tok_minor
 from image_restoration_tpu.ops.common import Conv, GroupedConv, conv2d, layer_scale_init
 from image_restoration_tpu.ops.resample import (
     pixel_shuffle,
@@ -56,6 +64,15 @@ def _ln_plain(x, ln_type: str, eps: float = 1e-5):
 
 def mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def _inverse_permutation(idx):
+    """Inverse of a batch of permutations, one scatter pass (vs argsort's
+    O(T log^2 T) sorting network): inv[idx[i]] = i."""
+    b, t = idx.shape
+    ar = jnp.broadcast_to(jnp.arange(t, dtype=idx.dtype), (b, t))
+    return jnp.zeros_like(idx).at[jnp.arange(b)[:, None], idx].set(
+        ar, unique_indices=True, indices_are_sorted=False)
 
 
 def _sobel_kernels(c: int, dtype=jnp.float32):
@@ -180,13 +197,11 @@ class Attention_DHOGSA(nn.Module):
             return x.reshape(b, tt, c)
 
         qh, kh, vh = arrange(q), arrange(k), arrange(v)
-        qh = qh / jnp.maximum(jnp.linalg.norm(qh, axis=-1, keepdims=True), 1e-12)
-        kh = kh / jnp.maximum(jnp.linalg.norm(kh, axis=-1, keepdims=True), 1e-12)
-        attn = jnp.einsum("bhcT,bhdT->bhcd", qh, kh) * temperature
+        attn = normalized_channel_logits_tok_minor(qh, kh) * temperature
         # softmax_1 (:192-195): exp / (sum(exp) + 1)
         attn = jnp.exp(attn)
         attn = attn / (jnp.sum(attn, axis=-1, keepdims=True) + 1.0)
-        out = jnp.einsum("bhcd,bhdT->bhcT", attn, vh)
+        out = jnp.einsum("bhcd,bhdT->bhcT", attn.astype(vh.dtype), vh)
         return unarrange(out)[:, :t, :]
 
     @nn.compact
@@ -218,7 +233,13 @@ class Attention_DHOGSA(nn.Module):
         hog = jnp.mean(p_mag[..., None] * onehot, axis=(2, 3))  # (b, nP, bins)
         hog = hog / (jnp.sum(hog, axis=-1, keepdims=True) + 1e-8)
         idx_patch = jnp.argsort(jnp.sum(sort_values, axis=2), axis=-1)  # (b,nP,pp)
-        p_sorted = jnp.take_along_axis(p_x, idx_patch[:, :, None, :], axis=-1)
+        # Within-patch permutation as a one-hot matmul: perm[s,t]=1 iff
+        # t==idx[s]; exactly one nonzero per row makes the product exact in
+        # any dtype, and a 64x64 batched matmul on the MXU beats a
+        # minor-axis gather. Its transpose is the inverse permutation,
+        # reused for the un-sort below.
+        perm = jax.nn.one_hot(idx_patch, p * p, dtype=x.dtype)  # (b,nP,s,t)
+        p_sorted = jnp.einsum("bpst,bpct->bpcs", perm, p_x)
         x_half_p = _merge_patches(p_sorted, p, info)
 
         _, _, nh, nw = info
@@ -232,7 +253,7 @@ class Attention_DHOGSA(nn.Module):
         qkv = Conv(self.dim * 5, 1, use_bias=self.use_bias, name="qkv", **kw)(x)
         qkv = Conv(self.dim * 5, 3, padding=1, groups=self.dim * 5,
                    use_bias=self.use_bias, name="qkv_dwconv", **kw)(qkv)
-        q1, k1, q2, k2, v = jnp.split(qkv, 5, axis=-1)
+        v = qkv[..., 4 * c:]
         kxc, kyc = _sobel_kernels(c, x.dtype)
         gxv = conv2d(v, kxc, padding=1, groups=c)
         gyv = conv2d(v, kyc, padding=1, groups=c)
@@ -241,27 +262,28 @@ class Attention_DHOGSA(nn.Module):
         key = jnp.sum(magv * oriv, axis=-1).reshape(b, h * w)
         idx = jnp.argsort(key, axis=-1)  # (b, T)
 
-        def flat_sort(t):
-            return jnp.take_along_axis(t.reshape(b, h * w, c), idx[:, :, None], axis=1)
-
-        q1, k1, q2, k2, vs = map(flat_sort, (q1, k1, q2, k2, v))
+        # one row-gather of the full (T, 5c) qkv instead of five (T, c) ones
+        qkv_s = jnp.take_along_axis(qkv.reshape(b, h * w, 5 * c),
+                                    idx[:, :, None], axis=1)
+        q1, k1, q2, k2, vs = jnp.split(qkv_s, 5, axis=-1)
         temperature = self.param(
             "temperature", nn.initializers.ones, (self.num_heads, 1, 1),
             self.param_dtype,
         )
         out1 = self._reshape_attn(q1, k1, vs, temperature, box=True)
         out2 = self._reshape_attn(q2, k2, vs, temperature, box=False)
-        # reference "scatter" un-sort (:299-300) = gather by inverse perm
-        inv = jnp.argsort(idx, axis=-1)
-        out1 = jnp.take_along_axis(out1, inv[:, :, None], axis=1)
-        out2 = jnp.take_along_axis(out2, inv[:, :, None], axis=1)
-        out = (out1 * out2).reshape(b, h, w, c)
+        # reference "scatter" un-sort (:299-300) = gather by inverse perm;
+        # the branch product commutes with the shared permutation, so
+        # multiply while sorted and run ONE inverse gather.
+        inv = _inverse_permutation(idx)
+        out = jnp.take_along_axis(out1 * out2, inv[:, :, None], axis=1)
+        out = out.reshape(b, h, w, c)
         out = Conv(self.dim, 1, use_bias=self.use_bias, name="project_out", **kw)(out)
 
-        # un-sort the first half at patch level (:304-308)
+        # un-sort the first half at patch level (:304-308): the inverse of a
+        # permutation matrix is its transpose — same one-hot, flipped einsum
         p_out, info2 = _split_patches(out[..., :half], p)
-        inv_p = jnp.argsort(idx_patch, axis=-1)
-        p_out = jnp.take_along_axis(p_out, inv_p[:, :, None, :], axis=-1)
+        p_out = jnp.einsum("bpst,bpcs->bpct", perm, p_out)
         out_half = _merge_patches(p_out, p, info2)
         return jnp.concatenate([out_half, out[..., half:]], axis=-1)
 

@@ -152,7 +152,7 @@ class IG_MSA(nn.Module):
 
     @nn.compact
     def __call__(self, x, illu_fea):
-        from image_restoration_tpu.ops.attention import l2_normalize
+        from image_restoration_tpu.ops.attention import normalized_channel_logits
         from image_restoration_tpu.ops.common import gelu_exact
 
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -171,10 +171,7 @@ class IG_MSA(nn.Module):
         def split_heads(t):
             return t.reshape(b, h * w, heads, ch)
 
-        qn = l2_normalize(split_heads(q).astype(jnp.float32), axis=1)
-        kn = l2_normalize(split_heads(k).astype(jnp.float32), axis=1)
-        attn = jnp.einsum("bnhc,bnhd->bhcd", qn, kn,
-                          preferred_element_type=jnp.float32)
+        attn = normalized_channel_logits(split_heads(q), split_heads(k))
         attn = jax.nn.softmax(
             attn * temperature.reshape(1, heads, 1, 1).astype(jnp.float32), axis=-1
         ).astype(x.dtype)

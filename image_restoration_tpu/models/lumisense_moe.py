@@ -25,7 +25,7 @@ from image_restoration_tpu.models.moce_ir import (
     FrequencyEmbedding,
 )
 from image_restoration_tpu.models.registry import register_model
-from image_restoration_tpu.ops.attention import MDTA, l2_normalize
+from image_restoration_tpu.ops.attention import MDTA, normalized_channel_logits
 from image_restoration_tpu.ops.common import Conv
 from image_restoration_tpu.ops.ffn import GDFN
 from image_restoration_tpu.ops.illumination import IlluminationEstimator
@@ -59,10 +59,7 @@ class IGMSASimple(nn.Module):
         def split_heads(t):
             return t.reshape(b, h * w, heads, ch)
 
-        qn = l2_normalize(split_heads(q).astype(jnp.float32), axis=1)
-        kn = l2_normalize(split_heads(k).astype(jnp.float32), axis=1)
-        attn = jnp.einsum("bnhc,bnhd->bhcd", qn, kn,
-                          preferred_element_type=jnp.float32)
+        attn = normalized_channel_logits(split_heads(q), split_heads(k))
         attn = jax.nn.softmax(
             attn * temperature.reshape(1, heads, 1, 1).astype(jnp.float32), axis=-1
         ).astype(x.dtype)

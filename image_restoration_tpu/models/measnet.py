@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
+from image_restoration_tpu.ops.attention import normalized_channel_logits_tok_minor
 from image_restoration_tpu.models.restormer import TransformerBlock
 from image_restoration_tpu.ops.common import Conv, GroupedConv, layer_scale_init
 from image_restoration_tpu.ops.layernorm import BatchNorm2d, LayerNorm2d
@@ -408,12 +409,10 @@ class CrossAttention(nn.Module):
             return t.transpose(0, 2, 3, 1)  # (B, heads, c/h, HW)
 
         qh, kh, vh = heads(q), heads(kk), heads(v)
-        qh = qh / jnp.maximum(jnp.linalg.norm(qh, axis=-1, keepdims=True), 1e-12)
-        kh = kh / jnp.maximum(jnp.linalg.norm(kh, axis=-1, keepdims=True), 1e-12)
         temp = self.param("temperature", nn.initializers.ones,
                           (self.num_heads, 1, 1), self.param_dtype)
-        attn = jnp.einsum("bhct,bhdt->bhcd", qh, kh) * temp
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = normalized_channel_logits_tok_minor(qh, kh) * temp
+        attn = jax.nn.softmax(attn, axis=-1).astype(vh.dtype)
         out = jnp.einsum("bhcd,bhdt->bhct", attn, vh)
         out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
         return Conv(c, 1, use_bias=self.use_bias, name="project_out", **kw)(out)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from image_restoration_tpu.models.registry import register_model
+from image_restoration_tpu.ops.attention import normalized_channel_logits_tok_minor
 from image_restoration_tpu.ops.common import Conv, gelu_exact
 from image_restoration_tpu.ops.layernorm import LayerNorm
 from image_restoration_tpu.ops.resample import Downsample, Upsample
@@ -115,12 +116,9 @@ class ElementwiseGatedAttention(nn.Module):
             return t.reshape(b, h * w, heads, cph).transpose(0, 2, 3, 1)
 
         qh, kh, vh = hm(q), hm(k), hm(v)
-        qh = qh / jnp.maximum(jnp.linalg.norm(qh, axis=-1, keepdims=True), 1e-12)
-        kh = kh / jnp.maximum(jnp.linalg.norm(kh, axis=-1, keepdims=True), 1e-12)
         temp = self.param("temperature", nn.initializers.ones,
                           (heads, 1, 1), self.param_dtype)
-        attn = jnp.einsum("bhct,bhdt->bhcd", qh, kh,
-                          preferred_element_type=jnp.float32)
+        attn = normalized_channel_logits_tok_minor(qh, kh)
         if dynamic_temp is not None:
             attn = attn * (temp[None] * dynamic_temp).astype(attn.dtype)
         else:

@@ -25,6 +25,42 @@ def l2_normalize(x, axis: int, eps: float = 1e-12):
     return x / jnp.maximum(n, eps)
 
 
+def normalized_channel_logits(q, k, eps: float = 1e-12):
+    """Normalized C x C channel-attention logits, token-major layout.
+
+    q, k: (B, N, heads, C) with N the token axis. Returns fp32
+    (B, heads, C, C) equal to ``l2_normalize(q, axis=1)^T @
+    l2_normalize(k, axis=1)`` — but computed as the RAW contraction (fp32
+    accumulation on the MXU) rescaled by the outer product of the channel
+    norms. Normalization commutes with the dot, so this never materializes
+    fp32-normalized copies of the big (N, C) tensors (2 full HBM round
+    trips per block at 512^2 in the naive order).
+    """
+    raw = jnp.einsum("bnhc,bnhd->bhcd", q, k,
+                     preferred_element_type=jnp.float32)
+    qn = jnp.sqrt(jnp.einsum("bnhc,bnhc->bhc", q, q,
+                             preferred_element_type=jnp.float32))
+    kn = jnp.sqrt(jnp.einsum("bnhc,bnhc->bhc", k, k,
+                             preferred_element_type=jnp.float32))
+    denom = (jnp.maximum(qn, eps)[:, :, :, None]
+             * jnp.maximum(kn, eps)[:, :, None, :])
+    return raw / denom
+
+
+def normalized_channel_logits_tok_minor(q, k, eps: float = 1e-12):
+    """Same as :func:`normalized_channel_logits` for the token-minor layout:
+    q, k: (..., C, N) -> fp32 (..., C, C)."""
+    raw = jnp.einsum("...ct,...dt->...cd", q, k,
+                     preferred_element_type=jnp.float32)
+    qn = jnp.sqrt(jnp.einsum("...ct,...ct->...c", q, q,
+                             preferred_element_type=jnp.float32))
+    kn = jnp.sqrt(jnp.einsum("...ct,...ct->...c", k, k,
+                             preferred_element_type=jnp.float32))
+    denom = (jnp.maximum(qn, eps)[..., :, None]
+             * jnp.maximum(kn, eps)[..., None, :])
+    return raw / denom
+
+
 def mdta_attention(q, k, v, temperature, num_heads: int):
     """Core MDTA contraction.
 
@@ -147,10 +183,8 @@ class SparseTopKMDTA(nn.Module):
         def split_heads(t):
             return t.reshape(b, h * w, heads, ch)
 
-        q = l2_normalize(split_heads(q).astype(jnp.float32), axis=1)
-        k = l2_normalize(split_heads(k).astype(jnp.float32), axis=1)
         v = split_heads(v)
-        logits = jnp.einsum("bnhc,bnhd->bhcd", q, k, preferred_element_type=jnp.float32)
+        logits = normalized_channel_logits(split_heads(q), split_heads(k))
         logits = logits * temperature.reshape(1, heads, 1, 1).astype(jnp.float32)
 
         # (1/N) * sum_f (attn_f @ v) == ((1/N) * sum_f attn_f) @ v: average

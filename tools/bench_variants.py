@@ -18,7 +18,8 @@ def run(tag, batch=1, size=512, chain=16, **flags):
     model = Restormer(dtype=jnp.bfloat16, **flags)
     x = jax.random.uniform(jax.random.PRNGKey(7), (batch, size, size, 3),
                            jnp.float32, 0.2, 0.8)
-    best = bench._bench_model(model, x, chain)  # eval_shape fill, NaN guard
+    compiled, params, _ = bench._chain_program(model, x, chain)
+    best = bench._bench_compiled(compiled, params, x, chain)
     mps = batch * size * size / best / 1e6
     print(f"{tag:28s} {best*1e3:7.2f} ms/img  {mps:6.3f} MP/s")
 
