@@ -74,9 +74,18 @@ def canvas_unpad(xc, w: int, c: int):
 # ---------------------------------------------------------------- pass 1 ---
 
 def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
-                  b_ref, dw_ref, db_ref, v_ref, qkprod_ref, qss_ref, kss_ref,
+                  b_ref, dw_ref, db_ref, v_ref, qkprod_ref, ss_ref,
                   *, th: int, width: int, c_real: int, cps: int, cs: int,
-                  ln_bias: bool, eps: float, h_total: int):
+                  qk_lo: int, qk_hi: int, ln_bias: bool, eps: float,
+                  h_total: int):
+    """Slot order is (v, q, k) at stride ``cs`` (see ``_pack_params``): the v
+    slot starts at lane 0 so the canvas write is the granule-aligned slice
+    ``acc[:, :, :cps]`` — the junk lanes beyond c_real (q values) are
+    annihilated in pass 2 by A^T's zero rows, so no in-kernel lane pad or
+    offset extraction (Mosaic relayouts, ~0.4 ms/block at 512^2) is needed.
+    Likewise q^T k is contracted over the granule-aligned lane span
+    [qk_lo:qk_hi] of the raw accumulator; the finalize step slices the
+    (q block x k block) out of the span product in plain XLA."""
     wp = xcur_ref.shape[2]
     cp = xcur_ref.shape[-1]
     op = w_ref.shape[-1]  # 3*cs rounded up to the lane granule
@@ -107,58 +116,51 @@ def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
                    precision=jax.lax.Precision.DEFAULT)
     proj = (proj + b_ref[:]).reshape(th2, wp, op) * mask
 
+    # hoist the 3 column shifts (sublane rotates) out of the 9-tap loop; the
+    # row shifts are leading-dim slices, which cost nothing.
+    shifted = [proj[:, kw : kw + width, :] for kw in range(3)]
     acc = jnp.zeros((th, width, op), jnp.float32)
     for kh in range(3):
         for kw in range(3):
-            acc = acc + proj[kh : kh + th, kw : kw + width, :] * dw_ref[kh * 3 + kw]
+            acc = acc + shifted[kw][kh : kh + th] * dw_ref[kh * 3 + kw]
     acc = acc + db_ref[:]
 
-    def slot(i):
-        """i-th qkv slot, lane-padded to the cps canvas width."""
-        sl = acc[:, :, i * cs : i * cs + c_real]
-        if c_real < cps:
-            sl = jnp.pad(sl, ((0, 0), (0, 0), (0, cps - c_real)))
-        return sl
-
-    # v slot -> canvas-layout output tile (zero borders)
+    # v slot (lanes [0:c_real]) -> canvas tile, granule-aligned slice store;
+    # lanes [c_real:cps] carry junk (q values) that pass 2 annihilates.
     v_ref[0] = jnp.zeros((th, wp, cps), v_ref.dtype)
-    v_ref[0, :, 1 : 1 + width, :] = slot(2).astype(v_ref.dtype)
+    v_ref[0, :, 1 : 1 + width, :] = acc[:, :, :cps].astype(v_ref.dtype)
 
-    qf = slot(0).reshape(th * width, cps)
-    kf = slot(1).reshape(th * width, cps)
-    prod = jax.lax.dot_general(qf.astype(jnp.bfloat16),
-                               kf.astype(jnp.bfloat16),
+    # q^T k over the aligned lane span; no per-slot extraction.
+    sf = acc[:, :, qk_lo:qk_hi].reshape(th * width, qk_hi - qk_lo)
+    prod = jax.lax.dot_general(sf.astype(jnp.bfloat16),
+                               sf.astype(jnp.bfloat16),
                                (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.DEFAULT)
-    qs = jnp.sum(qf * qf, axis=0, keepdims=True)
-    ks = jnp.sum(kf * kf, axis=0, keepdims=True)
+    ss = jnp.sum(sf * sf, axis=0, keepdims=True)
 
     @pl.when(hi == 0)
     def _init():
         qkprod_ref[0] = prod
-        qss_ref[0] = qs
-        kss_ref[0] = ks
+        ss_ref[0] = ss
 
     @pl.when(hi != 0)
     def _accum():
         qkprod_ref[0] += prod
-        qss_ref[0] += qs
-        kss_ref[0] += ks
+        ss_ref[0] += ss
 
 
 # ---------------------------------------------------------------- pass 2 ---
 
 def _apply_gdfn_kernel(vprev_ref, vcur_ref, vnext_ref, xprev_ref, xcur_ref,
-                       xnext_ref, at_ref, wp_ref, bp_ref, lnw_ref, lnb_ref,
-                       wc_ref, wg_ref, bc_ref, bg_ref, dwc_ref, dwg_ref,
-                       dbc_ref, dbg_ref, wo_ref, bo_ref, o_ref, *, th: int,
-                       width: int, c_real: int, ln_bias: bool, eps: float,
-                       h_total: int):
+                       xnext_ref, atw_ref, bp_ref, lnw_ref, lnb_ref,
+                       wcg_ref, bcg_ref, dwcg_ref, dbcg_ref,
+                       wo_ref, bo_ref, o_ref, *, th: int,
+                       width: int, c_real: int, hp: int, ln_bias: bool,
+                       eps: float, h_total: int):
     wp = xcur_ref.shape[2]
     cp = xcur_ref.shape[-1]
     cps = vcur_ref.shape[-1]
-    hp = wc_ref.shape[-1]
     hi = pl.program_id(1)
     th2 = th + 2
     prec = jax.lax.Precision.DEFAULT
@@ -168,13 +170,12 @@ def _apply_gdfn_kernel(vprev_ref, vcur_ref, vnext_ref, xprev_ref, xcur_ref,
     xs = jnp.concatenate(
         [xprev_ref[0], xcur_ref[0], xnext_ref[0]], axis=0)
 
-    # attn_out = x + (v @ A^T) @ W_proj + b, for th+2 rows (GDFN halo rows
-    # recomputed locally — cheaper than an extra HBM round trip)
+    # attn_out = x + v @ (A^T W_proj) + b, for th+2 rows (GDFN halo rows
+    # recomputed locally — cheaper than an extra HBM round trip). A^T W_proj
+    # is pre-folded in plain XLA (finalize), saving a matmul per tile; its
+    # rows beyond c_real are zero, annihilating the v canvas's junk lanes.
     v2 = vs.reshape(th2 * wp, cps)
-    t = jnp.dot(v2, at_ref[0], preferred_element_type=jnp.float32,
-                precision=prec)
-    t = t.astype(vs.dtype)
-    ao = jnp.dot(t, wp_ref[:], preferred_element_type=jnp.float32,
+    ao = jnp.dot(v2, atw_ref[0], preferred_element_type=jnp.float32,
                  precision=prec) + bp_ref[:]
     ao = ao.reshape(th2, wp, cp) + xs.astype(jnp.float32)
 
@@ -196,23 +197,21 @@ def _apply_gdfn_kernel(vprev_ref, vcur_ref, vnext_ref, xprev_ref, xcur_ref,
     valid = (grow >= 0) & (grow < h_total) & (cols >= 1) & (cols <= width)
     mask = valid.astype(jnp.float32)[:, :, None]
 
+    # cont|gate merged at [0:hp]|[hp:2hp] — one matmul, one mask pass, one
+    # tap loop; the halves split back out as granule-aligned (free) slices.
     y2 = y.reshape(th2 * wp, cp).astype(jnp.bfloat16)
-    cont = jnp.dot(y2, wc_ref[:], preferred_element_type=jnp.float32,
-                   precision=prec)
-    gate = jnp.dot(y2, wg_ref[:], preferred_element_type=jnp.float32,
-                   precision=prec)
-    cont = (cont + bc_ref[:]).reshape(th2, wp, hp) * mask
-    gate = (gate + bg_ref[:]).reshape(th2, wp, hp) * mask
+    cg = jnp.dot(y2, wcg_ref[:], preferred_element_type=jnp.float32,
+                 precision=prec)
+    cg = (cg + bcg_ref[:]).reshape(th2, wp, 2 * hp) * mask
 
-    acc_c = jnp.zeros((th, width, hp), jnp.float32)
-    acc_g = jnp.zeros((th, width, hp), jnp.float32)
+    shifted = [cg[:, kw : kw + width, :] for kw in range(3)]
+    acc = jnp.zeros((th, width, 2 * hp), jnp.float32)
     for kh in range(3):
         for kw in range(3):
-            k = kh * 3 + kw
-            acc_c = acc_c + cont[kh : kh + th, kw : kw + width, :] * dwc_ref[k]
-            acc_g = acc_g + gate[kh : kh + th, kw : kw + width, :] * dwg_ref[k]
-    acc_c = acc_c + dbc_ref[:]
-    acc_g = acc_g + dbg_ref[:]
+            acc = acc + shifted[kw][kh : kh + th] * dwcg_ref[kh * 3 + kw]
+    acc = acc + dbcg_ref[:]
+    acc_c = acc[:, :, :hp]
+    acc_g = acc[:, :, hp:]
 
     # exact-gelu via Abramowitz-Stegun erf (Mosaic lowers no erf primitive)
     z = acc_c * 0.7071067811865476
@@ -234,9 +233,10 @@ def _apply_gdfn_kernel(vprev_ref, vcur_ref, vnext_ref, xprev_ref, xcur_ref,
 # -------------------------------------------------------------- assembly ---
 
 def _pack_params(params, c, cp, cps, hp, hidden, cs, op):
-    """Pad every weight into the lane-aligned canvas layout. qkv slots sit
-    at stride `cs` (= c when packed contiguously, cps when slot-aligned)
-    inside op lanes."""
+    """Pad every weight into the lane-aligned canvas layout. Slots sit at
+    stride `cs` (= c when packed contiguously, cps when slot-aligned) inside
+    op lanes, ordered (v, q, k) — v first so the kernel's canvas write is a
+    granule-aligned slice (see ``_front_kernel``)."""
     (ln1w, ln1b, w_qkv, b_qkv, w_dw, b_dw, temp, w_proj, b_proj,
      ln2w, ln2b, w_in, b_in, w_dw2, b_dw2, w_out, b_out) = params
     f32, bf = jnp.float32, jnp.bfloat16
@@ -245,9 +245,9 @@ def _pack_params(params, c, cp, cps, hp, hidden, cs, op):
     def place3(mat2d, dtype):
         rows = mat2d.shape[0]
         out = jnp.zeros((rows, op), dtype)
-        for i in range(3):
+        for dst, src in enumerate((2, 0, 1)):  # slot order (v, q, k)
             out = jax.lax.dynamic_update_slice(
-                out, mat2d[:, i * c : (i + 1) * c], (0, i * cs))
+                out, mat2d[:, src * c : (src + 1) * c], (0, dst * cs))
         return out
 
     p = {}
@@ -268,20 +268,24 @@ def _pack_params(params, c, cp, cps, hp, hidden, cs, op):
     p["ln2w"] = jnp.pad(ln2w.astype(f32), (0, cp - c))
     p["ln2b"] = (jnp.pad(ln2b.astype(f32), (0, cp - c)) if ln2b is not None
                  else jnp.zeros((cp,), f32))
+    # cont|gate packed side by side at [0:hp]|[hp:2hp] (one matmul + one
+    # dwconv tap loop in pass 2; both halves granule-aligned)
     wi = w_in.reshape(c, 2 * hidden).astype(bf)
-    p["wc"] = jnp.pad(wi[:, :hidden], ((0, cp - c), (0, hp - hidden)))
-    p["wg"] = jnp.pad(wi[:, hidden:], ((0, cp - c), (0, hp - hidden)))
-    p["bc"] = (jnp.pad(b_in[:hidden].astype(f32), (0, hp - hidden))
-               if b_in is not None else z(hp))
-    p["bg"] = (jnp.pad(b_in[hidden:].astype(f32), (0, hp - hidden))
-               if b_in is not None else z(hp))
+    pad_h = lambda m: jnp.pad(m, ((0, 0), (0, hp - hidden)))
+    p["wcg"] = jnp.concatenate(
+        [jnp.pad(wi[:, :hidden], ((0, cp - c), (0, hp - hidden))),
+         jnp.pad(wi[:, hidden:], ((0, cp - c), (0, hp - hidden)))], axis=1)
+    p["bcg"] = (jnp.concatenate(
+        [pad_h(b_in[None, :hidden].astype(f32)),
+         pad_h(b_in[None, hidden:].astype(f32))], axis=1)[0]
+        if b_in is not None else z(2 * hp))
     dw2 = w_dw2.reshape(9, 2 * hidden).astype(f32)
-    p["dwc"] = jnp.pad(dw2[:, :hidden], ((0, 0), (0, hp - hidden)))
-    p["dwg"] = jnp.pad(dw2[:, hidden:], ((0, 0), (0, hp - hidden)))
-    p["dbc"] = (jnp.pad(b_dw2[:hidden].astype(f32), (0, hp - hidden))
-                if b_dw2 is not None else z(hp))
-    p["dbg"] = (jnp.pad(b_dw2[hidden:].astype(f32), (0, hp - hidden))
-                if b_dw2 is not None else z(hp))
+    p["dwcg"] = jnp.concatenate(
+        [pad_h(dw2[:, :hidden]), pad_h(dw2[:, hidden:])], axis=1)
+    p["dbcg"] = (jnp.concatenate(
+        [pad_h(b_dw2[None, :hidden].astype(f32)),
+         pad_h(b_dw2[None, hidden:].astype(f32))], axis=1)[0]
+        if b_dw2 is not None else z(2 * hp))
     p["wo"] = jnp.pad(w_out.reshape(hidden, c).astype(bf),
                       ((0, hp - hidden), (0, cp - c)))
     p["bo"] = (jnp.pad(b_out.astype(f32), (0, cp - c))
@@ -312,10 +316,15 @@ def _forward(xc, params, cfg):
 
     b, h, wp, cp = xc.shape
     cps = _round_up(c, 128)
-    # qkv slots packed at stride c when that saves lane granules (c=48:
+    # (v,q,k) slots packed at stride c when that saves lane granules (c=48:
     # op 384->256; c=192: 768->640), else 128-aligned slots (c=96: 384=384)
     cs = c if _round_up(3 * c, 128) < 3 * cps else cps
     op = _round_up(3 * cs, 128)  # == 3*cps in the aligned case
+    # granule-aligned lane span covering the q and k slots (at cs, 2*cs)
+    qk_lo = (cs // 128) * 128
+    qk_hi = _round_up(2 * cs + c, 128)
+    span = qk_hi - qk_lo
+    qo, ko = cs - qk_lo, 2 * cs - qk_lo  # q/k offsets inside the span
     hidden = params[11].reshape(c, -1).shape[-1] // 2
     hp = _round_up(hidden, 128)
     ch = c // num_heads
@@ -326,7 +335,7 @@ def _forward(xc, params, cfg):
     def vmem1(t):
         return ((t + 2) * wp * cp * 2 + (t + 2) * wp * cp * 4
                 + (t + 2) * wp * op * 4 + t * w * op * 4
-                + t * wp * cps * 2 + cps * cps * 4)
+                + t * wp * cps * 2 + span * span * 4)
 
     th1 = _pick_th(vmem1, h)
     n1 = h // th1
@@ -341,8 +350,8 @@ def _forward(xc, params, cfg):
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kern1 = functools.partial(
         _front_kernel, th=th1, width=w, c_real=c, cps=cps, cs=cs,
-        ln_bias=ln_bias, eps=eps, h_total=h)
-    vmap, prod, qss, kss = pl.pallas_call(
+        qk_lo=qk_lo, qk_hi=qk_hi, ln_bias=ln_bias, eps=eps, h_total=h)
+    vmap, prod, sss = pl.pallas_call(
         kern1,
         grid=(b, n1),
         in_specs=[rowb(-1, th1, cp), cur(th1, cp),
@@ -350,18 +359,15 @@ def _forward(xc, params, cfg):
         out_specs=[
             pl.BlockSpec((1, th1, wp, cps), lambda bi, hi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cps, cps), lambda bi, hi: (bi, 0, 0),
+            pl.BlockSpec((1, span, span), lambda bi, hi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cps), lambda bi, hi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cps), lambda bi, hi: (bi, 0, 0),
+            pl.BlockSpec((1, 1, span), lambda bi, hi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, wp, cps), xc.dtype),
-            jax.ShapeDtypeStruct((b, cps, cps), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, cps), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, cps), jnp.float32),
+            jax.ShapeDtypeStruct((b, span, span), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, span), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -370,45 +376,51 @@ def _forward(xc, params, cfg):
 
     # ---- finalize: norm rescale + temperature + per-head softmax ----
     temp = params[6]
-    qn = jnp.maximum(jnp.sqrt(qss[:, 0, :c]), 1e-12)
-    kn = jnp.maximum(jnp.sqrt(kss[:, 0, :c]), 1e-12)
-    logits = prod[:, :c, :c] / (qn[:, :, None] * kn[:, None, :])
+    qn = jnp.maximum(jnp.sqrt(sss[:, 0, qo : qo + c]), 1e-12)
+    kn = jnp.maximum(jnp.sqrt(sss[:, 0, ko : ko + c]), 1e-12)
+    logits = (prod[:, qo : qo + c, ko : ko + c]
+              / (qn[:, :, None] * kn[:, None, :]))
     tv = temp.reshape(num_heads).astype(jnp.float32)
     afull = jnp.zeros((b, cps, cps), jnp.float32)
     for i in range(num_heads):
         blk = logits[:, i * ch : (i + 1) * ch, i * ch : (i + 1) * ch] * tv[i]
         blk = jax.nn.softmax(blk, axis=-1)
         afull = jax.lax.dynamic_update_slice(afull, blk, (0, i * ch, i * ch))
-    at = jnp.swapaxes(afull, 1, 2).astype(xc.dtype)
+    # fold A^T into W_proj once per block (O(C^2) matmul in plain XLA):
+    # pass 2 then applies attention+projection as ONE tile matmul. Rows of
+    # atw beyond c are zero (afull pad rows x any = 0 after the swap), which
+    # annihilates the junk lanes the v canvas carries.
+    atw = jnp.einsum("bij,jk->bik", jnp.swapaxes(afull, 1, 2),
+                     pk["wp"].astype(jnp.float32)).astype(xc.dtype)
 
     # ---- pass 2 ----
     def vmem2(t):
         return ((t + 2) * wp * (cps + cp) * 2
-                + 2 * (t + 2) * wp * cp * 4          # t + ao
-                + 2 * (t + 2) * wp * hp * 4          # cont + gate
-                + 2 * t * w * hp * 4                 # acc_c + acc_g
+                + (t + 2) * wp * cp * 4              # ao
+                + (t + 2) * wp * 2 * hp * 4          # cont|gate merged
+                + t * w * 2 * hp * 4                 # tap accumulator
                 + t * wp * cp * 4 + cps * cp * 4)
 
     th2 = _pick_th(vmem2, h)
     n2 = h // th2
     kern2 = functools.partial(
-        _apply_gdfn_kernel, th=th2, width=w, c_real=c, ln_bias=ln_bias,
-        eps=eps, h_total=h)
+        _apply_gdfn_kernel, th=th2, width=w, c_real=c, hp=hp,
+        ln_bias=ln_bias, eps=eps, h_total=h)
     out = pl.pallas_call(
         kern2,
         grid=(b, n2),
         in_specs=[rowb(-1, th2, cps), cur(th2, cps), rowb(th2, th2, cps),
                   rowb(-1, th2, cp), cur(th2, cp), rowb(th2, th2, cp),
-                  pl.BlockSpec((1, cps, cps), lambda bi, hi: (bi, 0, 0),
-                               memory_space=pltpu.VMEM)] + [vspec] * 14,
+                  pl.BlockSpec((1, cps, cp), lambda bi, hi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)] + [vspec] * 9,
         out_specs=pl.BlockSpec((1, th2, wp, cp), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, wp, cp), xc.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(vmap, vmap, vmap, xc, xc, xc, at, pk["wp"], pk["bp"], pk["ln2w"],
-      pk["ln2b"], pk["wc"], pk["wg"], pk["bc"], pk["bg"], pk["dwc"],
-      pk["dwg"], pk["dbc"], pk["dbg"], pk["wo"], pk["bo"])
+    )(vmap, vmap, vmap, xc, xc, xc, atw, pk["bp"], pk["ln2w"],
+      pk["ln2b"], pk["wcg"], pk["bcg"], pk["dwcg"], pk["dbcg"],
+      pk["wo"], pk["bo"])
     return out
 
 
