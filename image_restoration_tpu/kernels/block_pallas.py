@@ -24,10 +24,11 @@ over a persistent "canvas" layout:
 
   Pass 2 (apply+GDFN, grid (B, H/th)):
       read v tile (+1 halo row each side) and x tile
-      -> attn_out = x + (v @ A^T) @ W_proj + b   (2 MXU matmuls, computed
-         for th+2 rows so the GDFN dwconv halo is recomputed locally
-         instead of re-read from HBM)
-      -> LN2 -> [cont|gate] 1x1 expand (MXU) -> halo-masked 3x3 depthwise
+      -> attn_out = x + v @ (A^T W_proj) + b   (ONE MXU matmul — A^T is
+         folded into W_proj in the finalize; computed for th+2 rows so the
+         GDFN dwconv halo is recomputed locally instead of re-read)
+      -> LN2 -> merged [cont|gate] 1x1 expand (one MXU matmul)
+      -> halo-masked 3x3 depthwise (one 9-tap loop over 2*hp lanes)
       -> gelu(cont)*gate -> 1x1 out (MXU) + attn_out residual
       -> write the block output tile (canvas layout).
 
@@ -130,14 +131,36 @@ def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
     v_ref[0] = jnp.zeros((th, wp, cps), v_ref.dtype)
     v_ref[0, :, 1 : 1 + width, :] = acc[:, :, :cps].astype(v_ref.dtype)
 
-    # q^T k over the aligned lane span; no per-slot extraction.
-    sf = acc[:, :, qk_lo:qk_hi].reshape(th * width, qk_hi - qk_lo)
-    prod = jax.lax.dot_general(sf.astype(jnp.bfloat16),
-                               sf.astype(jnp.bfloat16),
-                               (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.DEFAULT)
-    ss = jnp.sum(sf * sf, axis=0, keepdims=True)
+    if qk_lo is not None:
+        # q^T k over the aligned lane span; no per-slot extraction. 2x the
+        # dot FLOPs of per-slot q^T k, but zero lane relayouts — the right
+        # trade at large spatial grids where relayouts dominate.
+        sf = acc[:, :, qk_lo:qk_hi].reshape(th * width, qk_hi - qk_lo)
+        prod = jax.lax.dot_general(sf.astype(jnp.bfloat16),
+                                   sf.astype(jnp.bfloat16),
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+        ss = jnp.sum(sf * sf, axis=0, keepdims=True)
+    else:
+        # small grids: per-slot extraction keeps the accumulators cps-sized
+        # (the relayout cost is proportionally smaller here)
+        def slot(i):
+            sl = acc[:, :, i * cs : i * cs + c_real]
+            if c_real < cps:
+                sl = jnp.pad(sl, ((0, 0), (0, 0), (0, cps - c_real)))
+            return sl
+
+        qf = slot(1).reshape(th * width, cps)
+        kf = slot(2).reshape(th * width, cps)
+        prod = jax.lax.dot_general(qf.astype(jnp.bfloat16),
+                                   kf.astype(jnp.bfloat16),
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+        ss = jnp.concatenate(
+            [jnp.sum(qf * qf, axis=0, keepdims=True),
+             jnp.sum(kf * kf, axis=0, keepdims=True)], axis=-1)
 
     @pl.when(hi == 0)
     def _init():
@@ -294,6 +317,11 @@ def _pack_params(params, c, cp, cps, hp, hidden, cs, op):
 
 
 def _pick_th(vmem_of, h):
+    import os
+
+    budget = int(os.environ.get("IR_TPU_VMEM_BUDGET_MB", "0"))
+    if budget:
+        return pick_tile_height(h, vmem_of, budget=budget * 1024 * 1024)
     return pick_tile_height(h, vmem_of)
 
 
@@ -320,11 +348,21 @@ def _forward(xc, params, cfg):
     # op 384->256; c=192: 768->640), else 128-aligned slots (c=96: 384=384)
     cs = c if _round_up(3 * c, 128) < 3 * cps else cps
     op = _round_up(3 * cs, 128)  # == 3*cps in the aligned case
-    # granule-aligned lane span covering the q and k slots (at cs, 2*cs)
-    qk_lo = (cs // 128) * 128
-    qk_hi = _round_up(2 * cs + c, 128)
-    span = qk_hi - qk_lo
-    qo, ko = cs - qk_lo, 2 * cs - qk_lo  # q/k offsets inside the span
+    # q^T k strategy (static): the relayout-free span dot wins at large
+    # spatial grids; per-slot extraction keeps the dot cps-sized and wins at
+    # small ones (MoCE-IR's patch/latent blocks).
+    if h * w >= 256 * 256:
+        # granule-aligned lane span covering the q and k slots (at cs, 2*cs)
+        qk_lo = (cs // 128) * 128
+        qk_hi = _round_up(2 * cs + c, 128)
+        span = qk_hi - qk_lo
+        qo, ko = cs - qk_lo, 2 * cs - qk_lo  # q/k offsets inside the span
+        ss_w = span
+    else:
+        qk_lo = qk_hi = None
+        span = cps
+        qo, ko = 0, 0
+        ss_w = 2 * cps  # q sumsq | k sumsq halves
     hidden = params[11].reshape(c, -1).shape[-1] // 2
     hp = _round_up(hidden, 128)
     ch = c // num_heads
@@ -361,13 +399,13 @@ def _forward(xc, params, cfg):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, span, span), lambda bi, hi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, span), lambda bi, hi: (bi, 0, 0),
+            pl.BlockSpec((1, 1, ss_w), lambda bi, hi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, wp, cps), xc.dtype),
             jax.ShapeDtypeStruct((b, span, span), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, span), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, ss_w), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -376,10 +414,15 @@ def _forward(xc, params, cfg):
 
     # ---- finalize: norm rescale + temperature + per-head softmax ----
     temp = params[6]
-    qn = jnp.maximum(jnp.sqrt(sss[:, 0, qo : qo + c]), 1e-12)
-    kn = jnp.maximum(jnp.sqrt(sss[:, 0, ko : ko + c]), 1e-12)
-    logits = (prod[:, qo : qo + c, ko : ko + c]
-              / (qn[:, :, None] * kn[:, None, :]))
+    if qk_lo is not None:
+        qn = jnp.maximum(jnp.sqrt(sss[:, 0, qo : qo + c]), 1e-12)
+        kn = jnp.maximum(jnp.sqrt(sss[:, 0, ko : ko + c]), 1e-12)
+        logits = (prod[:, qo : qo + c, ko : ko + c]
+                  / (qn[:, :, None] * kn[:, None, :]))
+    else:
+        qn = jnp.maximum(jnp.sqrt(sss[:, 0, :c]), 1e-12)
+        kn = jnp.maximum(jnp.sqrt(sss[:, 0, cps : cps + c]), 1e-12)
+        logits = prod[:, :c, :c] / (qn[:, :, None] * kn[:, None, :])
     tv = temp.reshape(num_heads).astype(jnp.float32)
     afull = jnp.zeros((b, cps, cps), jnp.float32)
     for i in range(num_heads):

@@ -72,4 +72,7 @@ ok &= check(96, 64, 48, 2, "WithBias", True)
 ok &= check(48, 40, 56, 1, "BiasFree", False)
 ok &= check(192, 32, 32, 4, "WithBias", False)
 ok &= check(384, 16, 24, 8, "WithBias", False)
+# large-grid shapes (h*w >= 256^2) take the relayout-free span q^T k path
+ok &= check(48, 288, 256, 1, "WithBias", False)
+ok &= check(96, 256, 320, 2, "WithBias", False)
 print("ALL OK" if ok else "FAILURES PRESENT")
