@@ -271,16 +271,18 @@ def main(argv=None):
         results[name] = round(size * size / secs / 1e6, 3)
         rooflines[name] = _roofline(name, size, secs, ca, skip_static)
 
-    if models != ["restormer"]:
-        sec_path = os.path.join(REPO, "BENCH_secondary.json")
-        merged = {}
-        if os.path.exists(sec_path):  # keep other models' entries
-            merged = json.load(open(sec_path))
-        for k, v in results.items():
-            merged[f"{k}512_mps" if k != "vig" else "vig224_mps"] = v
-            merged[f"{k}_roofline"] = rooflines[k]
-        with open(sec_path, "w") as f:
-            json.dump(merged, f, indent=1, sort_keys=True)
+    # ALL rooflines (headline included) are recorded in BENCH_secondary.json;
+    # stdout stays compact so the driver's tail capture can't lose the
+    # headline (round-3 failure mode: one giant line, truncated parse).
+    sec_path = os.path.join(REPO, "BENCH_secondary.json")
+    merged = {}
+    if os.path.exists(sec_path):  # keep other models' entries
+        merged = json.load(open(sec_path))
+    for k, v in results.items():
+        merged[f"{k}512_mps" if k != "vig" else "vig224_mps"] = v
+        merged[f"{k}_roofline"] = rooflines[k]
+    with open(sec_path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
 
     if "restormer" in results:
         mps = results["restormer"]
@@ -289,16 +291,12 @@ def main(argv=None):
             "value": mps,
             "unit": "megapixels/s/chip",
             "vs_baseline": round(mps / A100_MPS, 3),
-            "roofline": rooflines["restormer"],
         }
-        sec_path = os.path.join(REPO, "BENCH_secondary.json")
-        if os.path.exists(sec_path):
-            line["secondary"] = json.load(open(sec_path))
-        print(json.dumps(line))
     else:
-        print(json.dumps({"metric": ",".join(models), "value": results,
-                          "unit": "megapixels/s/chip", "vs_baseline": None,
-                          "roofline": rooflines}))
+        line = {"metric": ",".join(models), "value": results,
+                "unit": "megapixels/s/chip", "vs_baseline": None}
+    # The compact headline object is the FINAL stdout line (driver contract).
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -34,7 +34,8 @@ def build_dataset(cfg):
     kind = cfg.get("trainset", "aio")
     if kind == "aio":
         return AIOTrainDataset(cfg["data_file_dir"], cfg["de_type"],
-                               cfg["patch_size"], seed=cfg.get("seed", 0))
+                               cfg["patch_size"], seed=cfg.get("seed", 0),
+                               name_list_dir=cfg.get("name_list_dir"))
     if kind == "cdd11":
         return CDD11(cfg["data_file_dir"], "train", cfg.get("cdd11_split", "all"),
                      cfg["patch_size"], seed=cfg.get("seed", 0))

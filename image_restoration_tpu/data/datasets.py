@@ -78,11 +78,38 @@ def dehaze_gt_name(hazy_path: str) -> str:
     return os.path.join(d, "clear", stem + ext)
 
 
+def adair_rain_gt(rainy_path: str) -> str:
+    """AdaIR derain GT rule (dataset_utils.py:133-135):
+    ``.../rainy/rain-N.png -> .../gt/norain-N.png``."""
+    return rainy_path.split("rainy")[0] + "gt/norain-" + rainy_path.split("rain-")[-1]
+
+
+def adair_haze_gt(hazy_path: str) -> str:
+    """AdaIR dehaze GT rule (dataset_utils.py:148-153):
+    ``.../synthetic/partK/NAME_a_b.jpg -> .../original/NAME.jpg``."""
+    d = hazy_path.split("synthetic")[0] + "original/"
+    stem = hazy_path.split("/")[-1].split("_")[0]
+    return d + stem + "." + hazy_path.split(".")[-1]
+
+
+# AdaIR name-list protocol: txt file under data_file_dir per task
+# (dataset_utils.py:60-116) + per-task image base dir relative to data root.
+ADAIR_NAME_LISTS: Dict[str, tuple] = {
+    # task -> (list file, base dir, gt rule or None for synthetic)
+    "denoise_15": ("noisy/denoise.txt", "denoising", None),
+    "denoise_25": ("noisy/denoise.txt", "denoising", None),
+    "denoise_50": ("noisy/denoise.txt", "denoising", None),
+    "derain": ("rainy/rainTrain.txt", "deraining", adair_rain_gt),
+    "dehaze": ("hazy/hazy_outside.txt", "dehazing", adair_haze_gt),
+}
+
+
 class AIOTrainDataset:
     """All-in-one training mixture (AIOTrainDataset, dataset_utils.py:137-347)."""
 
     def __init__(self, data_root: str, de_type: Sequence[str], patch_size: int = 128,
-                 seed: int = 0, specs: Dict[str, TaskSpec] | None = None):
+                 seed: int = 0, specs: Dict[str, TaskSpec] | None = None,
+                 name_list_dir: str | None = None):
         self.root = data_root
         self.patch_size = patch_size
         self.rng = np.random.default_rng(seed)
@@ -92,6 +119,24 @@ class AIOTrainDataset:
         self.items: List[tuple] = []  # (lq_path|None, gt_path, de_id, sigma)
         for t in self.de_type:
             spec = specs[t]
+            if name_list_dir is not None and t in ADAIR_NAME_LISTS:
+                # AdaIR txt name-list front-end (dataset_utils.py:60-116):
+                # IDs come from data_file_dir/<task>/<list>.txt, one relative
+                # path per line, resolved against the task's base dir; GT
+                # names derived by the AdaIR string rules. Oversampling
+                # ratios follow the folder-scan specs.
+                list_file, base, gt_rule = ADAIR_NAME_LISTS[t]
+                with open(os.path.join(name_list_dir, list_file)) as f:
+                    ids = [ln.strip() for ln in f if ln.strip()]
+                paths = [os.path.join(data_root, base, i) for i in ids]
+                if gt_rule is None:  # synthetic denoise over clean ids
+                    entries = [(None, p, self.de_ids[t], spec.sigma)
+                               for p in paths]
+                else:
+                    entries = [(p, gt_rule(p), self.de_ids[t], 0.0)
+                               for p in paths]
+                self.items += entries * spec.repeat
+                continue
             if spec.lq_dir is None:  # synthetic denoise over clean sets
                 gt_root = os.path.join(data_root, spec.gt_dir)
                 clean = []

@@ -316,12 +316,16 @@ def _pack_params(params, c, cp, cps, hp, hidden, cs, op):
     return p
 
 
-def _pick_th(vmem_of, h):
-    import os
+# Debug knob, captured ONCE at import: tile-height choices are baked into
+# traced/cached programs, so changing the env var mid-process would silently
+# have no effect on already-jitted calls. Import-time capture makes that
+# explicit — restart the process to change the budget.
+_VMEM_BUDGET_MB = int(__import__("os").environ.get("IR_TPU_VMEM_BUDGET_MB", "0"))
 
-    budget = int(os.environ.get("IR_TPU_VMEM_BUDGET_MB", "0"))
-    if budget:
-        return pick_tile_height(h, vmem_of, budget=budget * 1024 * 1024)
+
+def _pick_th(vmem_of, h):
+    if _VMEM_BUDGET_MB:
+        return pick_tile_height(h, vmem_of, budget=_VMEM_BUDGET_MB * 1024 * 1024)
     return pick_tile_height(h, vmem_of)
 
 

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
+from image_restoration_tpu.ops.attention import normalized_channel_logits
 from image_restoration_tpu.ops.common import Conv, GroupedConv
 from image_restoration_tpu.ops.layernorm import LayerNorm
 from image_restoration_tpu.ops.resample import Downsample, Upsample
@@ -62,15 +63,7 @@ class TKSA(nn.Module):
         # of q/k and no separate normalize passes. torch F.normalize's
         # max(||.||, eps) clamp is applied to the norms identically.
         qh, kh, vt = split_heads(q), split_heads(k), split_heads(v)
-        logits = jnp.einsum("bnhc,bnhd->bhcd", qh, kh,
-                            preferred_element_type=jnp.float32)
-        qn = jnp.sqrt(jnp.einsum("bnhc,bnhc->bhc", qh, qh,
-                                 preferred_element_type=jnp.float32))
-        kn = jnp.sqrt(jnp.einsum("bnhc,bnhc->bhc", kh, kh,
-                                 preferred_element_type=jnp.float32))
-        denom = (jnp.maximum(qn, 1e-12)[:, :, :, None]
-                 * jnp.maximum(kn, 1e-12)[:, :, None, :])
-        logits = logits / denom
+        logits = normalized_channel_logits(qh, kh)
         logits = logits * temperature.reshape(1, heads, 1, 1).astype(jnp.float32)
 
         # sum_i mix_i * (attn_i @ v) == (sum_i mix_i * attn_i) @ v: fold the

@@ -60,3 +60,52 @@ def test_file_client_and_npy_cache(tmp_path):
 
     with pytest.raises(ImportError):
         FileClient("lmdb", db_path=str(tmp_path))
+
+
+def test_adair_name_list_frontend(tmp_path, rng):
+    """AdaIR txt name-list protocol (AdaIR-main/utils/dataset_utils.py:60-153):
+    IDs from data_file_dir/*/*.txt, GT derived by the AdaIR string rules."""
+    import os
+
+    from PIL import Image
+
+    from image_restoration_tpu.data.datasets import (AIOTrainDataset,
+                                                     adair_haze_gt,
+                                                     adair_rain_gt)
+
+    def save(rel, size=48):
+        p = str(tmp_path / "data" / rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        Image.fromarray(rng.integers(0, 255, (size, size, 3))
+                        .astype(np.uint8)).save(p)
+        return p
+
+    save("deraining/rainy/rain-1.png")
+    save("deraining/gt/norain-1.png")
+    save("dehazing/synthetic/part1/0025_0.8_0.04.jpg")
+    save("dehazing/original/0025.jpg")
+    save("denoising/img1.png")
+    lists = tmp_path / "lists"
+    for rel, lines in (("noisy/denoise.txt", ["img1.png"]),
+                       ("rainy/rainTrain.txt", ["rainy/rain-1.png"]),
+                       ("hazy/hazy_outside.txt",
+                        ["synthetic/part1/0025_0.8_0.04.jpg"])):
+        os.makedirs(os.path.dirname(lists / rel), exist_ok=True)
+        (lists / rel).write_text("\n".join(lines) + "\n")
+
+    # GT-derivation rules match the reference string surgery
+    assert adair_rain_gt("/d/deraining/rainy/rain-7.png") == \
+        "/d/deraining/gt/norain-7.png"
+    assert adair_haze_gt("/d/dehazing/synthetic/part1/0025_0.8_0.04.jpg") == \
+        "/d/dehazing/original/0025.jpg"
+
+    ds = AIOTrainDataset(str(tmp_path / "data"),
+                         ["denoise_25", "derain", "dehaze"], patch_size=16,
+                         name_list_dir=str(lists))
+    # oversampling: denoise x3, derain x120, dehaze x1
+    assert len(ds) == 3 + 120 + 1
+    for idx in (0, 3, 123):
+        item = ds[idx]
+        assert item["lq"].shape == (16, 16, 3)
+        assert item["gt"].shape == (16, 16, 3)
+    assert ds[0]["sigma"] == 25 and ds[3]["sigma"] == 0

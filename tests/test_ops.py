@@ -99,3 +99,37 @@ def test_mesh_construction():
     assert n == 8, "conftest should provide 8 virtual cpu devices"
     mesh = make_mesh((4, 2, 1))
     assert mesh.shape == {"data": 4, "expert": 2, "spatial": 1}
+
+
+def test_normalized_channel_logits_matches_normalize_first(rng):
+    """Commuted normalization == l2-normalize-then-einsum, incl. bf16 inputs.
+
+    The fused helper contracts RAW (possibly large-magnitude) q/k with fp32
+    accumulation and rescales by the channel-norm outer product; the
+    reference order (Restormer.py:117-120) normalizes first. Mathematically
+    identical; this pins the rounding agreement off-TPU.
+    """
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.ops.attention import (
+        l2_normalize, normalized_channel_logits,
+        normalized_channel_logits_tok_minor)
+
+    b, n, heads, ch = 2, 64, 3, 8
+    for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+        # large magnitudes stress the raw contraction's dynamic range
+        q = jnp.asarray(rng.standard_normal((b, n, heads, ch)) * 30.0, dtype)
+        k = jnp.asarray(rng.standard_normal((b, n, heads, ch)) * 30.0, dtype)
+        got = normalized_channel_logits(q, k)
+        ref = jnp.einsum(
+            "bnhc,bnhd->bhcd",
+            l2_normalize(q.astype(jnp.float32), axis=1),
+            l2_normalize(k.astype(jnp.float32), axis=1))
+        assert got.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=tol, rtol=tol)
+        # token-minor variant agrees with the token-major one
+        got_tm = normalized_channel_logits_tok_minor(
+            jnp.moveaxis(q, 1, -1), jnp.moveaxis(k, 1, -1))
+        np.testing.assert_allclose(np.asarray(got_tm), np.asarray(got),
+                                   atol=1e-5, rtol=1e-5)
