@@ -20,16 +20,26 @@ ROOFLINE FIELDS
 Each benched model also reports a measured roofline placement:
 
 * ``hbm_gb_per_img`` / ``achieved_gbps`` — XLA's post-fusion HLO cost
-  analysis "bytes accessed" of the *shipped* program (loop body counted
-  once, verified), i.e. operand+output HBM traffic per forward including
-  Pallas custom-call operands. Divided by measured time => achieved GB/s,
-  compared against v5e's ~819 GB/s HBM.
+  analysis "bytes accessed", i.e. operand+output HBM traffic per forward
+  including Pallas custom-call operands. Divided by measured time =>
+  achieved GB/s, compared against v5e's ~819 GB/s HBM.
+  CONVENTION: XLA counts the body of a while/scan loop ONCE regardless of
+  trip count (verified). That is exactly right for the outer timing chain
+  (per-forward totals), but it UNDERCOUNTS models whose block stacks ship
+  as ``nn.scan`` loops. For those (the FUSED set) the bytes are therefore
+  taken from a one-time TPU compile of the same model with
+  ``scan_blocks=False`` (identical math, blocks unrolled) and cached in
+  ``tools/roofline_static.json`` — ``bytes_source: "xla_unrolled_cached"``.
+  Non-scanned models use the shipped program directly ("xla_shipped").
 * ``gflop_per_img`` / ``achieved_tflops`` / ``pct_peak_bf16`` — algorithmic
-  FLOPs per forward. XLA cannot see inside Pallas custom calls, so for
-  models shipping the fused whole-block kernel the FLOPs are taken from a
-  one-time compile of the *unfused* (pure-XLA) variant and cached in
-  ``tools/roofline_static.json`` (committed; keyed by model@size so driver
-  runs never pay the extra compile). Peak = 197 TFLOP/s bf16 (v5e).
+  FLOPs per forward (dot/conv = 2*M*N*K, fma=2 convention), from the
+  PRE-OPTIMIZATION HLO of the unfused, UNROLLED (scan_blocks=False) model
+  via ``jax.jit(f).lower(...).cost_analysis()`` — backend-independent, no
+  compile, every block counted. Cached in the same static json. (Round-3
+  note: the previous convention took flops from a compiled unfused variant
+  *with scan on*, which undercounted Restormer 3.7x — 365 GFLOP vs the
+  true 1.33 TFLOP/img at 512^2 — and contradicted this docstring's A100
+  derivation. Fixed; the two now agree.) Peak = 197 TFLOP/s bf16 (v5e).
 * ``bound`` — which wall is closer: "bandwidth" if pct_peak_hbm >
   pct_peak_bf16 else "compute". This is the measured answer to "is 4.9
   MP/s the HBM floor?" that COVERAGE.md previously only inferred.
@@ -140,41 +150,73 @@ def _bench_compiled(compiled, params, x, chain):
     return best
 
 
-def _static_flops(name, size, skip_static):
-    """Algorithmic FLOPs/img for fused-kernel models, from a one-time
-    compile of the unfused variant, cached in tools/roofline_static.json."""
-    cache = {}
+def _load_static():
     if os.path.exists(STATIC_PATH):
-        cache = json.load(open(STATIC_PATH))
+        return json.load(open(STATIC_PATH))
+    return {}
+
+
+def _save_static(cache):
+    os.makedirs(os.path.dirname(STATIC_PATH), exist_ok=True)
+    with open(STATIC_PATH, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+
+
+def _static_costs(name, size, skip_static):
+    """{"flops", "bytes"} for nn.scan models (see ROOFLINE FIELDS), cached
+    in tools/roofline_static.json.
+
+    flops: pre-opt HLO cost analysis of the unfused unrolled model — cheap
+    (no backend compile), algorithmic, every block counted.
+    bytes: post-fusion "bytes accessed" of the SHIPPED (fused) model
+    compiled with scan_blocks=False so scan bodies aren't counted once —
+    a one-time multi-minute TPU compile, hence the committed cache.
+    """
+    cache = _load_static()
     key = f"{name}@{size}"
-    if key in cache:
-        return cache[key]
+    ent = cache.get(key)
+    if isinstance(ent, dict) and "flops" in ent and "bytes" in ent:
+        return ent
     if skip_static:
-        return None
-    model, size2, _ = _make(name, fused=False)
-    assert size2 == size
+        return ent if isinstance(ent, dict) else None
     import jax
     import jax.numpy as jnp
 
     x = jax.random.uniform(jax.random.PRNGKey(7), (1, size, size, 3),
                            jnp.float32, 0.2, 0.8)
-    _, _, ca = _chain_program(model, x, 1)
-    flops = float(ca.get("flops", 0.0))
-    cache[key] = flops
-    os.makedirs(os.path.dirname(STATIC_PATH), exist_ok=True)
-    with open(STATIC_PATH, "w") as f:
-        json.dump(cache, f, indent=1, sort_keys=True)
-    return flops
+    ent = ent if isinstance(ent, dict) else {}
+    if "flops" not in ent:
+        model, size2, _ = _make(name, fused=False, scan=False)
+        assert size2 == size
+        params = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+
+        def f(v, inp):
+            out = model.apply(v, inp)
+            return out[0] if isinstance(out, tuple) else out
+
+        ca = jax.jit(f).lower(params, x).cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
+        ent["flops"] = float(ca.get("flops", 0.0))
+    if "bytes" not in ent:
+        model, _, _ = _make(name, fused=True, scan=False)
+        _, _, ca = _chain_program(model, x, 1)
+        ent["bytes"] = float(ca.get("bytes accessed", 0.0))
+    cache[key] = ent
+    _save_static(cache)
+    return ent
 
 
 def _roofline(name, size, secs, ca, skip_static):
     flops = float(ca.get("flops", 0.0))
     src = "xla_shipped"
-    if name in FUSED:
-        static = _static_flops(name, size, skip_static)
-        if static is not None:
-            flops, src = static, "xla_unfused_cached"
+    bytes_src = "xla_shipped"
     hbm_bytes = float(ca.get("bytes accessed", 0.0))
+    if name in FUSED:
+        static = _static_costs(name, size, skip_static)
+        if static and "flops" in static:
+            flops, src = static["flops"], "preopt_unrolled_cached"
+        if static and "bytes" in static:
+            hbm_bytes, bytes_src = static["bytes"], "xla_unrolled_cached"
     tflops = flops / secs / 1e12
     gbps = hbm_bytes / secs / 1e9
     pct_bf16 = 100.0 * tflops / V5E_PEAK_BF16_TFLOPS
@@ -196,6 +238,7 @@ def _roofline(name, size, secs, ca, skip_static):
         "pct_peak_hbm": round(pct_hbm, 1),
         "bound": bound,
         "flops_source": src,
+        "bytes_source": bytes_src,
     }
     if pct_hbm > 100.0:
         # "bytes accessed" is operand+output bytes of every fusion; buffers
@@ -205,7 +248,7 @@ def _roofline(name, size, secs, ca, skip_static):
     return out
 
 
-def _make(name, fused=True):
+def _make(name, fused=True, scan=True):
     """Returns (model, input_size, chain_length)."""
     import jax.numpy as jnp
 
@@ -216,7 +259,7 @@ def _make(name, fused=True):
         #   — q/k never touch HBM; one persistent canvas per level
         # scan_blocks: nn.scan per level — ~4x faster compile, ~5% faster run
         return Restormer(dtype=jnp.bfloat16, fused_block=fused,
-                         scan_blocks=True), 512, 48
+                         scan_blocks=scan), 512, 48
     from image_restoration_tpu.models import get_model
     from image_restoration_tpu.utils.options import MODEL_DEFAULTS
 
@@ -232,7 +275,7 @@ def _make(name, fused=True):
         kw = {k: tuple(v) if isinstance(v, list) else v
               for k, v in MODEL_DEFAULTS[name].items()}
         if name in FUSED:
-            kw.update(fused_block=fused, scan_blocks=True)
+            kw.update(fused_block=fused, scan_blocks=scan)
         chain = {"nerd_rain": 12, "hogformer": 8, "drsformer": 8,
                  "igmoce_ir": 8, "cg_ir": 8, "lumisense_moe": 8,
                  "measnet": 8, "mwformer": 16, "sfhformer": 16,

@@ -101,7 +101,7 @@ def spatial_shard(x, mesh: Mesh, axis: str = "spatial"):
 
 def suggest_halo(num_blocks=(4, 6, 6, 8), num_refinement_blocks: int = 4,
                  dwconvs_per_block: int = 2, kernel: int = 3,
-                 cap: int | None = None) -> int:
+                 cap: int | None = None, align: int | None = None) -> int:
     """Conv-path receptive-field RADIUS of a Restormer-geometry U-Net — the
     halo at which the spatially-local part of the model becomes exact.
 
@@ -111,7 +111,14 @@ def suggest_halo(num_blocks=(4, 6, 6, 8), num_refinement_blocks: int = 4,
     pixel-shuffle resamplers' 3x3 convs add one kernel radius per hop.
     Global-statistics ops (channel attention, GAP gates, FFT) are NOT
     covered — see the module docstring. ``cap`` clamps the suggestion (a
-    halo larger than the strip height is wasted work)."""
+    halo larger than the strip height is wasted work).
+
+    ``align`` rounds the radius UP to a multiple (pass 2^(levels-1) for a
+    pixel-shuffle U-Net): the resamplers are shift-invariant only to shifts
+    that are multiples of the total downsampling factor, so a halo that is
+    not a multiple of it shifts every strip's downsampling grid relative to
+    the unsharded forward and the interior never matches, no matter how
+    large the halo is."""
     r = kernel // 2
     levels = len(num_blocks)
     radius = 0
@@ -120,4 +127,6 @@ def suggest_halo(num_blocks=(4, 6, 6, 8), num_refinement_blocks: int = 4,
         radius += 2 * r * (2 ** l)                          # down/up convs
     radius += num_blocks[-1] * dwconvs_per_block * r * (2 ** (levels - 1))
     radius += num_refinement_blocks * dwconvs_per_block * r
+    if align and align > 1:
+        radius = -(-radius // align) * align
     return min(radius, cap) if cap else radius
