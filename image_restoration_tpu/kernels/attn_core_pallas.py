@@ -78,7 +78,7 @@ def _apply_kernel(v_ref, x_ref, at_ref, w_ref, b_ref, o_ref, *, c_real: int):
 
 
 def _reference_core(qkv_padded, x, temperature, w_proj, b_proj,
-                    num_heads: int):
+                    num_heads: int, gate=None):
     from image_restoration_tpu.ops.attention import mdta_attention
 
     c = x.shape[-1]
@@ -87,6 +87,10 @@ def _reference_core(qkv_padded, x, temperature, w_proj, b_proj,
     k = qkv_padded[..., cps:cps + c]
     v = qkv_padded[..., 2 * cps:2 * cps + c]
     a = mdta_attention(q, k, v, temperature, num_heads)
+    if gate is not None:
+        # CG-IR context output gate: per-(batch, channel) sigmoid applied to
+        # the attention output BEFORE project_out (model.py:407-433)
+        a = a * gate[:, None, None, :].astype(a.dtype)
     dt = x.dtype
     o = jax.lax.conv_general_dilated(
         a.astype(dt), w_proj.reshape(1, 1, c, c).astype(dt), (1, 1),

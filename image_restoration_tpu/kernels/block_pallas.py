@@ -329,21 +329,21 @@ def _pick_th(vmem_of, h):
     return pick_tile_height(h, vmem_of)
 
 
-def _reference_block(x, params, num_heads, ln_type, eps):
+def _reference_block(x, params, num_heads, ln_type, eps, gate=None):
     (ln1w, ln1b, w_qkv, b_qkv, w_dw, b_dw, temp, w_proj, b_proj,
      ln2w, ln2b, w_in, b_in, w_dw2, b_dw2, w_out, b_out) = params
     qkv = _ref_front(x, (ln1w, ln1b, w_qkv, b_qkv, w_dw, b_dw), ln_type, eps,
                      split_pad=True)
-    x = _reference_core(qkv, x, temp, w_proj, b_proj, num_heads)
+    x = _reference_core(qkv, x, temp, w_proj, b_proj, num_heads, gate=gate)
     return _reference_ln_gdfn(
         x, (ln2w, ln2b, w_in, b_in, w_dw2, b_dw2, w_out, b_out), ln_type, eps)
 
 
-def _forward(xc, params, cfg):
+def _forward(xc, params, cfg, gate=None):
     (c, w, num_heads, ln_type, eps) = cfg
     if jax.default_backend() != "tpu":
         x = canvas_unpad(xc, w, c)
-        out = _reference_block(x, params, num_heads, ln_type, eps)
+        out = _reference_block(x, params, num_heads, ln_type, eps, gate=gate)
         return canvas_pad(out)
 
     b, h, wp, cp = xc.shape
@@ -427,17 +427,27 @@ def _forward(xc, params, cfg):
         qn = jnp.maximum(jnp.sqrt(sss[:, 0, :c]), 1e-12)
         kn = jnp.maximum(jnp.sqrt(sss[:, 0, cps : cps + c]), 1e-12)
         logits = prod[:, :c, :c] / (qn[:, :, None] * kn[:, None, :])
-    tv = temp.reshape(num_heads).astype(jnp.float32)
+    # (heads,1,1) -> (1,heads); per-sample (b,heads) temps (CG-IR context
+    # log-temperature) broadcast over the batched logits identically
+    tv = temp.reshape(-1, num_heads).astype(jnp.float32)
     afull = jnp.zeros((b, cps, cps), jnp.float32)
     for i in range(num_heads):
-        blk = logits[:, i * ch : (i + 1) * ch, i * ch : (i + 1) * ch] * tv[i]
+        blk = (logits[:, i * ch : (i + 1) * ch, i * ch : (i + 1) * ch]
+               * tv[:, i, None, None])
         blk = jax.nn.softmax(blk, axis=-1)
         afull = jax.lax.dynamic_update_slice(afull, blk, (0, i * ch, i * ch))
+    at = jnp.swapaxes(afull, 1, 2)
+    if gate is not None:
+        # per-(batch,channel) output gate applied between attention and
+        # project_out: (gate . (A v)) W == v (A^T diag(gate) W) — fold the
+        # diagonal into the same per-batch A^T W_proj product, exact.
+        gpad = jnp.pad(gate.astype(jnp.float32), ((0, 0), (0, cps - c)))
+        at = at * gpad[:, None, :]
     # fold A^T into W_proj once per block (O(C^2) matmul in plain XLA):
     # pass 2 then applies attention+projection as ONE tile matmul. Rows of
     # atw beyond c are zero (afull pad rows x any = 0 after the swap), which
     # annihilates the junk lanes the v canvas carries.
-    atw = jnp.einsum("bij,jk->bik", jnp.swapaxes(afull, 1, 2),
+    atw = jnp.einsum("bij,jk->bik", at,
                      pk["wp"].astype(jnp.float32)).astype(xc.dtype)
 
     # ---- pass 2 ----
@@ -472,31 +482,44 @@ def _forward(xc, params, cfg):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def fused_block(xc, params, cfg):
+def fused_block(xc, params, cfg, gate=None):
     """One whole Restormer TransformerBlock on the canvas layout.
 
     xc: (B, H, WP, CP) canvas from ``canvas_pad``; cfg = (c_real, w_real,
     num_heads, ln_type, eps) static. params = 17-tuple:
     (ln1_w, ln1_b, w_qkv, b_qkv, w_dw, b_dw, temperature, w_proj, b_proj,
      ln2_w, ln2_b, w_in, b_in, w_dw2, b_dw2, w_out, b_out).
+    temperature may be (heads, 1, 1) or per-sample (b, heads).
+    gate: optional (b, c) per-channel attention output gate (applied before
+    project_out — CG-IR's Context_Adaptive_Gated_Attention, folded into the
+    per-batch A^T W_proj product at zero kernel cost).
     Returns the next block's canvas.
     """
-    return _forward(xc, params, cfg)
+    return _forward(xc, params, cfg, gate)
 
 
-def _fwd(xc, params, cfg):
-    return _forward(xc, params, cfg), (xc, params)
+def _fwd(xc, params, cfg, gate):
+    return _forward(xc, params, cfg, gate), (xc, params, gate)
 
 
 def _bwd(cfg, res, g):
     (c, w, num_heads, ln_type, eps) = cfg
-    xc, params = res
+    xc, params, gate = res
 
-    def ref(xcc, pp):
+    if gate is None:
+        def ref(xcc, pp):
+            x = canvas_unpad(xcc, w, c)
+            return canvas_pad(_reference_block(x, pp, num_heads, ln_type, eps))
+
+        _, vjp = jax.vjp(ref, xc, params)
+        return vjp(g) + (None,)
+
+    def ref_g(xcc, pp, gg):
         x = canvas_unpad(xcc, w, c)
-        return canvas_pad(_reference_block(x, pp, num_heads, ln_type, eps))
+        return canvas_pad(
+            _reference_block(x, pp, num_heads, ln_type, eps, gate=gg))
 
-    _, vjp = jax.vjp(ref, xc, params)
+    _, vjp = jax.vjp(ref_g, xc, params, gate)
     return vjp(g)
 
 

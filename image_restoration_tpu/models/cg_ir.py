@@ -132,6 +132,42 @@ class CGDM(nn.Module):
         return out + x
 
 
+class _CGAttnParams(nn.Module):
+    """Param twin of ContextAdaptiveGatedAttention for the fused-block path:
+    same flax param names (checkpoint-importer compatible), but instead of
+    running attention it computes the per-sample total temperature and output
+    gate (tiny context MLPs, plain XLA) and returns the conv weights for the
+    canvas kernel."""
+
+    dim: int
+    num_heads: int
+    use_bias: bool = False
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, context_emb):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        heads = self.num_heads
+        log_base = self.param("log_base_temperature", nn.initializers.zeros,
+                              (heads, 1, 1), self.param_dtype)
+        log_delta = nn.Dense(self.dim // 4, name="temp_adapter_0", **kw)(context_emb)
+        log_delta = nn.Dense(heads, name="temp_adapter_2", **kw)(nn.relu(log_delta))
+        temp = jnp.exp(log_base.reshape(1, heads).astype(jnp.float32)
+                       + log_delta.astype(jnp.float32))  # (b, heads)
+        gate = nn.Dense(self.dim, name="attn_output_gate_0", **kw)(context_emb)
+        gate = jax.nn.sigmoid(gate.astype(jnp.float32))  # (b, c)
+        from image_restoration_tpu.ops.common import ConvParams
+
+        wq, bq = ConvParams(3 * self.dim, self.dim, 1, self.use_bias,
+                            self.param_dtype, name="qkv")()
+        wd, bd = ConvParams(3 * self.dim, 1, 3, self.use_bias,
+                            self.param_dtype, name="qkv_dwconv")()
+        wo, bo = ConvParams(self.dim, self.dim, 1, self.use_bias,
+                            self.param_dtype, name="project_out")()
+        return temp, gate, wq, bq, wd, bd, wo, bo
+
+
 class ContextAdaptiveGatedAttention(nn.Module):
     """(:337-433)."""
 
@@ -182,12 +218,39 @@ class CGTB(nn.Module):
     use_bias: bool = False
     ln_type: str = "WithBias"
     context_dim: int = 64
+    fused_block: bool = False  # whole-block 2-pass canvas kernel
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context_emb):
+    def __call__(self, x, context_emb, w_real: int | None = None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.fused_block:
+            # CGTB is MDTA+GDFN with two per-sample twists, both of which
+            # fold into the canvas kernel's plain-XLA finalize: the
+            # context-predicted temperature is per-(b, heads), and the
+            # per-(b, c) output gate becomes A^T diag(gate) W_proj.
+            from image_restoration_tpu.kernels.block_pallas import fused_block
+            from image_restoration_tpu.models.restormer import (
+                _GDFNParams,
+                _LNParams,
+            )
+
+            d = self.dim
+            lnw1, lnb1 = _LNParams(self.ln_type, self.param_dtype,
+                                   name="norm1")(d)
+            temp, gate, wq, bq, wd, bd, wo, bo = _CGAttnParams(
+                d, self.num_heads, self.use_bias, name="attn", **kw)(context_emb)
+            lnw2, lnb2 = _LNParams(self.ln_type, self.param_dtype,
+                                   name="norm2")(d)
+            w_in, b_in, w_dw2, b_dw2, w_out, b_out = _GDFNParams(
+                d, self.expansion, self.use_bias, self.param_dtype,
+                name="ffn")()
+            params = (lnw1, lnb1, wq, bq, wd, bd, temp, wo, bo, lnw2, lnb2,
+                      w_in, b_in, w_dw2, b_dw2, w_out, b_out)
+            return fused_block(
+                x, params, (d, w_real, self.num_heads, self.ln_type, 1e-5),
+                gate)
         x = x + ContextAdaptiveGatedAttention(
             self.dim, self.num_heads, self.use_bias, self.context_dim,
             name="attn", **kw)(
@@ -196,6 +259,29 @@ class CGTB(nn.Module):
         x = x + GDFN(self.dim, self.expansion, self.use_bias, name="ffn", **kw)(
             LayerNorm(self.ln_type, param_dtype=self.param_dtype, name="norm2")(x))
         return x
+
+
+class _CGScanCell(nn.Module):
+    """Scan body for a CG-IR block stack: (canvas, broadcast prompt) carry."""
+
+    dim: int
+    num_heads: int
+    expansion: float
+    use_bias: bool
+    ln_type: str
+    context_dim: int
+    fused_block: bool
+    w_real: int | None
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, x, prompt):
+        blk = CGTB(self.dim, self.num_heads, self.expansion, self.use_bias,
+                   self.ln_type, self.context_dim,
+                   fused_block=self.fused_block, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="block")
+        return blk(x, prompt, w_real=self.w_real), None
 
 
 @register_model("cg_ir")
@@ -213,6 +299,8 @@ class DACG_IR(nn.Module):
     ln_type: str = "WithBias"
     context_dim: int = 64
     num_scales: int = 3
+    fused_block: bool = False  # whole-block 2-pass canvas kernel (serving)
+    scan_blocks: bool = False  # nn.scan per stack (fast compile)
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -227,9 +315,35 @@ class DACG_IR(nn.Module):
         p1, p2, p3, p4 = prompts
 
         def blocks(t, d, hd, n, ctx, prompt, prefix):
-            for i in range(n):
-                t = CGTB(d, hd, self.ffn_expansion_factor, self.use_bias,
-                         self.ln_type, ctx, name=f"{prefix}_{i}", **kw)(t, prompt)
+            w = t.shape[2]
+            if self.fused_block:
+                from image_restoration_tpu.kernels.block_pallas import (
+                    canvas_pad,
+                    canvas_unpad,
+                )
+
+                t = canvas_pad(t)
+            if self.scan_blocks:
+                cell = nn.scan(
+                    _CGScanCell,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    in_axes=(nn.broadcast,),
+                    length=n,
+                )(d, hd, self.ffn_expansion_factor, self.use_bias,
+                  self.ln_type, ctx, self.fused_block,
+                  w if self.fused_block else None, self.dtype,
+                  self.param_dtype, name=f"{prefix}_scan")
+                t, _ = cell(t, prompt)
+            else:
+                for i in range(n):
+                    blk = CGTB(d, hd, self.ffn_expansion_factor, self.use_bias,
+                               self.ln_type, ctx,
+                               fused_block=self.fused_block,
+                               name=f"{prefix}_{i}", **kw)
+                    t = blk(t, prompt, w_real=w if self.fused_block else None)
+            if self.fused_block:
+                t = canvas_unpad(t, w, d)
             return t
 
         feats = Conv(dims[0], 3, padding=1, use_bias=self.use_bias,

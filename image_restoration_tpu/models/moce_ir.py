@@ -325,7 +325,8 @@ class EncoderBlock(nn.Module):
             params = (lnw1, lnb1, wq, bq, wd, bd, temp, wo, bo, lnw2, lnb2,
                       w_in, b_in, w_dw2, b_dw2, w_out, b_out)
             return fused_block(
-                x, params, (d, w_real, self.num_heads, self.ln_type, 1e-5))
+                x, params, (d, w_real, self.num_heads, self.ln_type, 1e-5),
+                None)
         x = x + MDTA(self.dim, self.num_heads, self.use_bias, name="mixer", **kw)(
             LayerNorm(self.ln_type, param_dtype=self.param_dtype, name="norms_0")(x))
         x = x + GDFN(self.dim, self.expansion, self.use_bias, name="ffn", **kw)(

@@ -127,7 +127,8 @@ class TransformerBlock(nn.Module):
             params = (lnw1, lnb1, wq, bq, wd, bd, temp, wo, bo, lnw2, lnb2,
                       w_in, b_in, w_dw2, b_dw2, w_out, b_out)
             return fused_block(
-                x, params, (d, w_real, self.num_heads, self.ln_type, 1e-5))
+                x, params, (d, w_real, self.num_heads, self.ln_type, 1e-5),
+                None)
         if self.fused_attn:
             from image_restoration_tpu.kernels.attn_core_pallas import (
                 fused_mdta_core,

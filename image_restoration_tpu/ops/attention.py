@@ -89,7 +89,9 @@ def mdta_attention(q, k, v, temperature, num_heads: int):
     # raw (B, heads, ch, ch) product, fp32 accumulate on the MXU
     attn = jnp.einsum("bnhc,bnhd->bhcd", q, k, preferred_element_type=jnp.float32)
     attn = attn / (qn[:, :, :, None] * kn[:, :, None, :])
-    attn = attn * temperature.reshape(1, num_heads, 1, 1).astype(jnp.float32)
+    # (heads,1,1) -> (1,heads,1,1); a per-sample (b,heads) temperature (CG-IR
+    # context-predicted log-temperature) reshapes to (b,heads,1,1)
+    attn = attn * temperature.reshape(-1, num_heads, 1, 1).astype(jnp.float32)
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum(
         "bhcd,bnhd->bnhc", attn.astype(dt), v, preferred_element_type=jnp.float32

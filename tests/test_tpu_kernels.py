@@ -87,7 +87,7 @@ def test_fused_block_vs_fp32_reference(c, h, w, heads, ln_type, bias):
 
     @jax.jit
     def run_fused(xx):
-        return canvas_unpad(fused_block(canvas_pad(xx), params, cfg), w, c)
+        return canvas_unpad(fused_block(canvas_pad(xx), params, cfg, None), w, c)
 
     @jax.jit
     def run_ref_bf16(xx):

@@ -26,6 +26,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -33,17 +34,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def bench(name, fn, *args, reps=3, chain=48):
-    run = jax.jit(fn)
-    jax.block_until_ready(run(*args))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(chain):
-            out = run(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / chain)
+def bench(name, fn, *args):
+    # chained-differencing: the axon tunnel does not synchronize
+    # block_until_ready, so the only trustworthy number chains N
+    # applications inside ONE jit and differences two chain lengths.
+    from chain_bench import marginal
+
+    best = marginal(fn, args[0], n1=4, n2=20,
+                    reps=3) if len(args) == 1 else None
     print(f"  {name:24s} {best*1e3:8.3f} ms")
     return best
 
@@ -170,8 +168,8 @@ def main():
     ts = {}
     for v in ("base", "mm_x2", "taps_x2", "chunk2_seq", "chunk2_il"):
         try:
-            ts[v] = bench(v, functools.partial(
-                run_variant, v, th=th, width=w, h=h), x, wm, w2, dw, dw2, lnw)
+            ts[v] = bench(v, lambda z, v=v: run_variant(
+                v, z, wm, w2, dw, dw2, lnw, th=th, width=w, h=h), x)
         except Exception as e:
             print(f"  {v}: FAIL {type(e).__name__}: {str(e)[:200]}")
     if "base" in ts:

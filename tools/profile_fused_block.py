@@ -15,6 +15,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -23,9 +24,20 @@ from image_restoration_tpu.kernels import block_pallas as bp
 
 
 def bench(name, fn, *args, chain=32):
-    # NOTE: wrapping the kernel in lax.fori_loop/scan imposes shifted Mosaic
-    # input layouts that its concat lowering rejects — dispatch the jitted fn
-    # repeatedly instead (async dispatch overlaps Python overhead).
+    """Chained-differencing when the fn is shape-preserving (canvas cp ==
+    cps at the bench shapes, so pass-1/pass-2 chain on their own output);
+    repeated-dispatch fallback otherwise. Only the chained numbers are
+    trustworthy through the axon tunnel (block_until_ready does not
+    synchronize — tools/pipeline_probe.py r4 measured the same kernel at
+    0.014 ms by dispatch vs 0.602 ms chained)."""
+    x0 = args[0]
+    probe = jax.eval_shape(fn, *args)
+    if probe.shape == x0.shape and probe.dtype == x0.dtype and len(args) == 1:
+        from chain_bench import marginal
+
+        best = marginal(fn, x0, n1=4, n2=12)
+        print(f"  {name:34s} {best*1e3:8.3f} ms   [chained]")
+        return best
     run = jax.jit(fn)
     jax.block_until_ready(run(*args))
     best = float("inf")
@@ -36,7 +48,7 @@ def bench(name, fn, *args, chain=32):
             out = run(*args)
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / chain)
-    print(f"  {name:34s} {best*1e3:8.3f} ms")
+    print(f"  {name:34s} {best*1e3:8.3f} ms   [dispatch]")
     return best
 
 
@@ -61,7 +73,7 @@ def profile_shape(c, h, w, heads):
     cfg = (c, w, heads, "WithBias", 1e-5)
 
     t_all = bench("fused_block (both passes)", lambda z: bp.fused_block(
-        z, params, cfg), xc)
+        z, params, cfg, None), xc)
 
     # --- pass-1 only: replicate _forward up to pass 1, return vmap ---
     b, hh, wp, cp = xc.shape
