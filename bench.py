@@ -83,7 +83,7 @@ STATIC_PATH = os.path.join(REPO, "tools", "roofline_static.json")
 
 # models whose benched config ships Pallas whole-block kernels, hiding
 # their FLOPs from XLA cost analysis (see ROOFLINE FIELDS above)
-FUSED = {"restormer", "moce_ir", "adair", "nerd_rain", "cg_ir"}
+FUSED = {"restormer", "moce_ir", "adair", "nerd_rain", "cg_ir", "measnet"}
 
 
 def _fill_params(model, x):

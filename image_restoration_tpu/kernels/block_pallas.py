@@ -76,16 +76,16 @@ def canvas_unpad(xc, w: int, c: int):
 
 def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
                   b_ref, dw_ref, db_ref, v_ref, qkprod_ref, ss_ref,
-                  *, th: int, width: int, c_real: int, cps: int, cs: int,
-                  qk_lo: int, qk_hi: int, ln_bias: bool, eps: float,
-                  h_total: int):
-    """Slot order is (v, q, k) at stride ``cs`` (see ``_pack_params``): the v
-    slot starts at lane 0 so the canvas write is the granule-aligned slice
-    ``acc[:, :, :cps]`` — the junk lanes beyond c_real (q values) are
-    annihilated in pass 2 by A^T's zero rows, so no in-kernel lane pad or
-    offset extraction (Mosaic relayouts, ~0.4 ms/block at 512^2) is needed.
-    Likewise q^T k is contracted over the granule-aligned lane span
-    [qk_lo:qk_hi] of the raw accumulator; the finalize step slices the
+                  *, th: int, width: int, c_real: int, cps: int,
+                  offs: tuple, qk_lo: int, qk_hi: int, ln_bias: bool,
+                  eps: float, h_total: int, bf16_taps: bool = False):
+    """Slots sit at lane offsets ``offs`` = (v, q, k) (see ``_pack_params``):
+    v starts at lane 0 so the canvas write is the granule-aligned slice
+    ``acc[:, :, :cps]`` — any junk lanes beyond c_real are annihilated in
+    pass 2 by A^T's zero rows, so no in-kernel lane pad or offset extraction
+    (Mosaic relayouts, ~0.4 ms/block at 512^2) is needed. q^T k is contracted
+    over the granule-aligned lane span [qk_lo:qk_hi] (large grids) or by
+    per-slot extraction (small grids); the finalize step slices the
     (q block x k block) out of the span product in plain XLA."""
     wp = xcur_ref.shape[2]
     cp = xcur_ref.shape[-1]
@@ -116,6 +116,9 @@ def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
     proj = jnp.dot(y2, w_ref[:], preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.DEFAULT)
     proj = (proj + b_ref[:]).reshape(th2, wp, op) * mask
+    if bf16_taps:
+        # A/B knob (IR_TPU_BF16_TAPS): bf16 tap inputs, fp32 accumulation
+        proj = proj.astype(jnp.bfloat16)
 
     # hoist the 3 column shifts (sublane rotates) out of the 9-tap loop; the
     # row shifts are leading-dim slices, which cost nothing.
@@ -146,7 +149,7 @@ def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
         # small grids: per-slot extraction keeps the accumulators cps-sized
         # (the relayout cost is proportionally smaller here)
         def slot(i):
-            sl = acc[:, :, i * cs : i * cs + c_real]
+            sl = acc[:, :, offs[i] : offs[i] + c_real]
             if c_real < cps:
                 sl = jnp.pad(sl, ((0, 0), (0, 0), (0, cps - c_real)))
             return sl
@@ -180,7 +183,7 @@ def _apply_gdfn_kernel(vprev_ref, vcur_ref, vnext_ref, xprev_ref, xcur_ref,
                        wcg_ref, bcg_ref, dwcg_ref, dbcg_ref,
                        wo_ref, bo_ref, o_ref, *, th: int,
                        width: int, c_real: int, hp: int, ln_bias: bool,
-                       eps: float, h_total: int):
+                       eps: float, h_total: int, bf16_taps: bool = False):
     wp = xcur_ref.shape[2]
     cp = xcur_ref.shape[-1]
     cps = vcur_ref.shape[-1]
@@ -226,6 +229,8 @@ def _apply_gdfn_kernel(vprev_ref, vcur_ref, vnext_ref, xprev_ref, xcur_ref,
     cg = jnp.dot(y2, wcg_ref[:], preferred_element_type=jnp.float32,
                  precision=prec)
     cg = (cg + bcg_ref[:]).reshape(th2, wp, 2 * hp) * mask
+    if bf16_taps:
+        cg = cg.astype(jnp.bfloat16)
 
     shifted = [cg[:, kw : kw + width, :] for kw in range(3)]
     acc = jnp.zeros((th, width, 2 * hp), jnp.float32)
@@ -255,11 +260,10 @@ def _apply_gdfn_kernel(vprev_ref, vcur_ref, vnext_ref, xprev_ref, xcur_ref,
 
 # -------------------------------------------------------------- assembly ---
 
-def _pack_params(params, c, cp, cps, hp, hidden, cs, op):
+def _pack_params(params, c, cp, cps, hp, hidden, offs, op):
     """Pad every weight into the lane-aligned canvas layout. Slots sit at
-    stride `cs` (= c when packed contiguously, cps when slot-aligned) inside
-    op lanes, ordered (v, q, k) — v first so the kernel's canvas write is a
-    granule-aligned slice (see ``_front_kernel``)."""
+    lane offsets ``offs`` inside op lanes, ordered (v, q, k) — v first so the
+    kernel's canvas write is a granule-aligned slice (see ``_front_kernel``)."""
     (ln1w, ln1b, w_qkv, b_qkv, w_dw, b_dw, temp, w_proj, b_proj,
      ln2w, ln2b, w_in, b_in, w_dw2, b_dw2, w_out, b_out) = params
     f32, bf = jnp.float32, jnp.bfloat16
@@ -270,7 +274,7 @@ def _pack_params(params, c, cp, cps, hp, hidden, cs, op):
         out = jnp.zeros((rows, op), dtype)
         for dst, src in enumerate((2, 0, 1)):  # slot order (v, q, k)
             out = jax.lax.dynamic_update_slice(
-                out, mat2d[:, src * c : (src + 1) * c], (0, dst * cs))
+                out, mat2d[:, src * c : (src + 1) * c], (0, offs[dst]))
         return out
 
     p = {}
@@ -321,6 +325,8 @@ def _pack_params(params, c, cp, cps, hp, hidden, cs, op):
 # have no effect on already-jitted calls. Import-time capture makes that
 # explicit — restart the process to change the budget.
 _VMEM_BUDGET_MB = int(__import__("os").environ.get("IR_TPU_VMEM_BUDGET_MB", "0"))
+_QK_MODE = __import__("os").environ.get("IR_TPU_QK_MODE", "")
+_BF16_TAPS = __import__("os").environ.get("IR_TPU_BF16_TAPS", "0") == "1"
 
 
 def _pick_th(vmem_of, h):
@@ -349,18 +355,24 @@ def _forward(xc, params, cfg, gate=None):
     b, h, wp, cp = xc.shape
     cps = _round_up(c, 128)
     # (v,q,k) slots packed at stride c when that saves lane granules (c=48:
-    # op 384->256; c=192: 768->640), else 128-aligned slots (c=96: 384=384)
+    # op 384->256; c=192: 768->640), else 128-aligned slots (c=96: 384=384).
+    # A GAP variant packing q|k into ONE granule at c<=64 was measured
+    # (r4, chained-diff): 2.14 vs 1.82 ms/block at 512^2 c=48 — the narrower
+    # Gram does NOT pay for the extra lane offsets; dropped.
     cs = c if _round_up(3 * c, 128) < 3 * cps else cps
+    offs = (0, cs, 2 * cs)
     op = _round_up(3 * cs, 128)  # == 3*cps in the aligned case
     # q^T k strategy (static): the relayout-free span dot wins at large
     # spatial grids; per-slot extraction keeps the dot cps-sized and wins at
-    # small ones (MoCE-IR's patch/latent blocks).
-    if h * w >= 256 * 256:
-        # granule-aligned lane span covering the q and k slots (at cs, 2*cs)
+    # small ones (MoCE-IR's patch/latent blocks). IR_TPU_QK_MODE=span|extract
+    # forces one path (A/B knob, captured at import like the VMEM budget).
+    use_span = (h * w >= 256 * 256 if not _QK_MODE else _QK_MODE == "span")
+    if use_span:
+        # granule-aligned lane span covering the q/k slots (cs, 2*cs)
         qk_lo = (cs // 128) * 128
         qk_hi = _round_up(2 * cs + c, 128)
         span = qk_hi - qk_lo
-        qo, ko = cs - qk_lo, 2 * cs - qk_lo  # q/k offsets inside the span
+        qo, ko = cs - qk_lo, 2 * cs - qk_lo  # offsets inside the span
         ss_w = span
     else:
         qk_lo = qk_hi = None
@@ -371,7 +383,7 @@ def _forward(xc, params, cfg, gate=None):
     hp = _round_up(hidden, 128)
     ch = c // num_heads
     ln_bias = ln_type != "BiasFree"
-    pk = _pack_params(params, c, cp, cps, hp, hidden, cs, op)
+    pk = _pack_params(params, c, cp, cps, hp, hidden, offs, op)
 
     # ---- pass 1 ----
     def vmem1(t):
@@ -391,8 +403,9 @@ def _forward(xc, params, cfg, gate=None):
         memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kern1 = functools.partial(
-        _front_kernel, th=th1, width=w, c_real=c, cps=cps, cs=cs,
-        qk_lo=qk_lo, qk_hi=qk_hi, ln_bias=ln_bias, eps=eps, h_total=h)
+        _front_kernel, th=th1, width=w, c_real=c, cps=cps, offs=offs,
+        qk_lo=qk_lo, qk_hi=qk_hi, ln_bias=ln_bias, eps=eps, h_total=h,
+        bf16_taps=_BF16_TAPS)
     vmap, prod, sss = pl.pallas_call(
         kern1,
         grid=(b, n1),
@@ -462,7 +475,7 @@ def _forward(xc, params, cfg, gate=None):
     n2 = h // th2
     kern2 = functools.partial(
         _apply_gdfn_kernel, th=th2, width=w, c_real=c, hp=hp,
-        ln_bias=ln_bias, eps=eps, h_total=h)
+        ln_bias=ln_bias, eps=eps, h_total=h, bf16_taps=_BF16_TAPS)
     out = pl.pallas_call(
         kern2,
         grid=(b, n2),

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
 from image_restoration_tpu.ops.attention import normalized_channel_logits
-from image_restoration_tpu.ops.common import Conv, GroupedConv
+from image_restoration_tpu.ops.common import Conv, ConvParams, GroupedConv
 from image_restoration_tpu.ops.layernorm import LayerNorm
 from image_restoration_tpu.ops.resample import Downsample, Upsample
 
@@ -104,14 +104,46 @@ class MSFN(nn.Module):
                           use_bias=self.use_bias, name="dwconv5x5", **kw)(x))
         x13, x23 = jnp.split(d3, 2, axis=-1)
         x15, x25 = jnp.split(d5, 2, axis=-1)
-        x1 = jnp.concatenate([x13, x15], axis=-1)
-        x2 = jnp.concatenate([x23, x25], axis=-1)
-        x1 = nn.relu(Conv(hidden, 3, padding=1, groups=hidden,
-                          use_bias=self.use_bias, name="dwconv3x3_1", **kw)(x1))
-        x2 = nn.relu(Conv(hidden, 5, padding=2, groups=hidden,
-                          use_bias=self.use_bias, name="dwconv5x5_1", **kw)(x2))
-        x = jnp.concatenate([x1, x2], axis=-1)
-        return Conv(self.dim, 1, use_bias=self.use_bias, name="project_out", **kw)(x)
+        # Stage 2 is a grouped conv (2 in-channels per group) over the concat
+        # [x1_3|x1_5]: group g of H reads concat channels (2g, 2g+1), i.e.
+        # tap 0 reads the even interleave and tap 1 the odd one. Build those
+        # two interleaves DIRECTLY from the halves (one H-channel concat
+        # each) instead of materializing the 2H concat AND its two strided
+        # slices — exact, same contraction (DRSformer_arch.py:76-93).
+        x1 = nn.relu(self._grouped2(x13, x15, hidden, 3, "dwconv3x3_1"))
+        x2 = nn.relu(self._grouped2(x23, x25, hidden, 5, "dwconv5x5_1"))
+        # project_out over the concat == sum of half matmuls: skip the final
+        # 2H-channel concat round trip too.
+        kp, bp = ConvParams(self.dim, hidden * 2, 1, self.use_bias,
+                            param_dtype=self.param_dtype, name="project_out")()
+        out = (jnp.einsum("bhwc,cd->bhwd", x1, kp[0, 0, :hidden].astype(x1.dtype),
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bhwc,cd->bhwd", x2, kp[0, 0, hidden:].astype(x2.dtype),
+                            preferred_element_type=jnp.float32))
+        if bp is not None:
+            out = out + bp
+        return out.astype(x.dtype)
+
+    def _grouped2(self, a, b, groups: int, k: int, name: str):
+        """Grouped conv (2 in-channels/group, 1 out) over concat([a, b]) as
+        two depthwise convs on the even/odd channel interleaves of the
+        concat, built directly from the halves. a/b each carry ``groups``
+        channels (odd counts handled by the general interleave identity)."""
+        from image_restoration_tpu.ops.common import _dwconv_taps
+
+        kern, bias = ConvParams(groups, 2, k, self.use_bias,
+                                param_dtype=self.param_dtype, name=name)()
+        h = a.shape[-1]
+        if h % 2 == 0:
+            even = jnp.concatenate([a[..., 0::2], b[..., 0::2]], axis=-1)
+            odd = jnp.concatenate([a[..., 1::2], b[..., 1::2]], axis=-1)
+        else:  # concat channel 2g is b[2g-h] for 2g >= h, i.e. b's odd slice
+            even = jnp.concatenate([a[..., 0::2], b[..., 1::2]], axis=-1)
+            odd = jnp.concatenate([a[..., 1::2], b[..., 0::2]], axis=-1)
+        kern = kern.astype(a.dtype)
+        out = (_dwconv_taps(even, kern[:, :, 0:1, :], k // 2)
+               + _dwconv_taps(odd, kern[:, :, 1:2, :], k // 2))
+        return out if bias is None else out + bias.astype(a.dtype)
 
 
 class TransformerBlock(nn.Module):
@@ -203,10 +235,19 @@ class OperationLayer(nn.Module):
             DilConvOp(self.c, 7, name="_ops_6", **kw)(x),
             _avg_pool3x3_exclude_pad(x),
         ]
-        states = [o * weights[:, i].reshape(-1, 1, 1, 1).astype(o.dtype)
-                  for i, o in enumerate(outs)]
-        cat = jnp.concatenate(states, axis=-1)
-        return nn.relu(Conv(self.c, 1, use_bias=False, name="_out_0", **kw)(cat))
+        # conv1x1(concat_i(w_i * out_i)) == sum_i w_i * (out_i @ K_i): never
+        # materialize the 8c-channel concat (a full-res HBM round trip per
+        # step that dwarfed the op bank itself); fp32 accumulation only
+        # tightens the conv's own fp32-accumulate semantics.
+        kern, _ = ConvParams(self.c, 8 * self.c, 1, use_bias=False,
+                             param_dtype=self.param_dtype, name="_out_0")()
+        acc = 0.0
+        for i, o in enumerate(outs):
+            ki = kern[0, 0, i * self.c : (i + 1) * self.c, :].astype(o.dtype)
+            term = jnp.einsum("bhwc,cd->bhwd", o, ki,
+                              preferred_element_type=jnp.float32)
+            acc = acc + term * weights[:, i].reshape(-1, 1, 1, 1).astype(jnp.float32)
+        return nn.relu(acc).astype(x.dtype)
 
 
 class Subnet(nn.Module):

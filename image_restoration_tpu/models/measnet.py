@@ -36,8 +36,13 @@ import jax.numpy as jnp
 
 from image_restoration_tpu.models.registry import register_model
 from image_restoration_tpu.ops.attention import normalized_channel_logits_tok_minor
-from image_restoration_tpu.models.restormer import TransformerBlock
-from image_restoration_tpu.ops.common import Conv, GroupedConv, layer_scale_init
+from image_restoration_tpu.models.restormer import BlockStackMixin, TransformerBlock
+from image_restoration_tpu.ops.common import (
+    Conv,
+    ConvParams,
+    GroupedConv,
+    layer_scale_init,
+)
 from image_restoration_tpu.ops.layernorm import BatchNorm2d, LayerNorm2d
 from image_restoration_tpu.ops.resample import (
     pixel_shuffle,
@@ -156,15 +161,19 @@ class TokenMoE(nn.Module):
             load = jnp.sum((gates > 0).astype(jnp.float32), axis=0)
         loss = _balance(jnp.sum(gates, axis=0)) + _balance(load)
 
-        # dense experts: (T, E, C) bank, weighted log-sum-exp combine
-        outs = []
+        # dense experts, weighted log-sum-exp combine ACCUMULATED expert by
+        # expert: sum_e g_e*exp(out_e) needs no (T, E, C) bank — the stacked
+        # fp32 bank was a ~300 MB HBM round trip per call at 512^2 that XLA
+        # could not fuse away; the running sum is the same reduction
+        # reassociated (fp32 throughout, exact to addition order).
+        gf = gates.astype(jnp.float32)
+        ensemble = 0.0
         for i in range(self.num_experts):
-            outs.append(_Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                             dtype=self.dtype, param_dtype=self.param_dtype,
-                             name=f"el_{i}")(tokens))
-        bank = jnp.stack(outs, axis=1).astype(jnp.float32)  # (T, E, C)
-        ensemble = jnp.einsum("te,tec->tc", gates.astype(jnp.float32),
-                              jnp.exp(bank))
+            out_i = _Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name=f"el_{i}")(tokens)
+            ensemble = ensemble + gf[:, i : i + 1] * jnp.exp(
+                out_i.astype(jnp.float32))
         ensemble = jnp.where(ensemble == 0, _EPS64, ensemble)
         y = jnp.log(ensemble).astype(x.dtype)
         return y.reshape(b, h, w, c), loss
@@ -224,14 +233,17 @@ class FD(nn.Module):
 
         pad = k // 2
         xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
-        # 9 shifted windows, channel-grouped weighted sum
-        xg = jnp.stack(
-            [xp[:, i : i + h, j : j + w, :] for i in range(k) for j in range(k)],
-            axis=-1,
-        )  # (B, H, W, C, k*k)
-        xg = xg.reshape(b, h, w, g, c // g, k * k)
-        low = jnp.einsum("bhwgcn,bgn->bhwgc", xg, filt.astype(xg.dtype))
-        low = low.reshape(b, h, w, c)
+        # The GAP-driven kernel is spatially constant per (sample, group), so
+        # the unfold-einsum is just a depthwise conv with a dynamic kernel:
+        # k^2 shifted FMAs with per-channel broadcast weights, which XLA
+        # fuses into ONE pass over x. The old (B,H,W,C,k^2) window stack
+        # materialized ~9x the activation (905 MB at 512^2 x 96) per call.
+        wmap = jnp.repeat(filt, c // g, axis=1).astype(x.dtype)  # (B, C, k*k)
+        low = 0.0
+        for i in range(k):
+            for j in range(k):
+                low = low + (xp[:, i : i + h, j : j + w, :]
+                             * wmap[:, None, None, :, i * k + j])
         return low, x - low
 
 
@@ -269,20 +281,23 @@ class _WET(nn.Module):
                         param_dtype=self.param_dtype, name="body_2")(gvec)
 
 
-class _EL(nn.Module):
-    """Low-rank gated expert (FD_MEE.py:133-146)."""
+class _ELParams(nn.Module):
+    """Param tree of a low-rank gated expert (FD_MEE.py:133-146); the compute
+    is batched across experts in MESE (one fused matmul per conv role)."""
 
     channels: int
     low_dim: int
-    dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, k):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        e = Conv(self.low_dim, 1, use_bias=True, name="conv_1", **kw)(x)
-        e = e * Conv(self.low_dim, 1, use_bias=True, name="conv_2", **kw)(k)
-        return Conv(self.channels, 1, use_bias=True, name="conv_3", **kw)(e)
+    def __call__(self):
+        k1 = ConvParams(self.low_dim, self.channels, 1, True,
+                        param_dtype=self.param_dtype, name="conv_1")()
+        k2 = ConvParams(self.low_dim, self.channels, 1, True,
+                        param_dtype=self.param_dtype, name="conv_2")()
+        k3 = ConvParams(self.channels, self.low_dim, 1, True,
+                        param_dtype=self.param_dtype, name="conv_3")()
+        return k1, k2, k3
 
 
 class MESE(nn.Module):
@@ -335,11 +350,33 @@ class MESE(nn.Module):
             grow = lambda i: 2 ** (i + 1)
         else:  # "double"
             grow = lambda i: 2 * i + 2
-        out = xh
-        for i in range(self.num_experts):
-            e = _EL(c, grow(i), dtype=self.dtype, param_dtype=self.param_dtype,
-                    name=f"experts_{i}")(xh, kh)
-            out = out + e * gates[:, None, None, i : i + 1]
+        lows = [grow(i) for i in range(self.num_experts)]
+        els = [_ELParams(c, lows[i], param_dtype=self.param_dtype,
+                         name=f"experts_{i}")()
+               for i in range(self.num_experts)]
+        # Batch the num_experts low-rank experts into ONE fused pipeline:
+        # sum_i g_i*(conv3_i(conv1_i(x)*conv2_i(k))) ==
+        # ((x@W1cat + b1cat) * (k@W2cat + b2cat) scaled per-column by g)
+        # @ W3cat + sum_i g_i*b3_i — exact (concatenated rank dims), and
+        # 3 matmuls instead of 3*num_experts separate full-res conv passes.
+        dt = xh.dtype
+        w1 = jnp.concatenate([e[0][0][0, 0] for e in els], axis=-1).astype(dt)
+        b1 = jnp.concatenate([e[0][1] for e in els]).astype(dt)
+        w2 = jnp.concatenate([e[1][0][0, 0] for e in els], axis=-1).astype(dt)
+        b2 = jnp.concatenate([e[1][1] for e in els]).astype(dt)
+        w3 = jnp.concatenate([e[2][0][0, 0] for e in els], axis=0).astype(dt)
+        e1 = jnp.einsum("bhwc,cl->bhwl", xh, w1) + b1
+        e2 = jnp.einsum("bhwc,cl->bhwl", kh, w2) + b2
+        gcols = jnp.concatenate(
+            [jnp.repeat(gates[:, i : i + 1], lows[i], axis=1)
+             for i in range(self.num_experts)], axis=1)  # (B, sum(lows))
+        prod = e1 * e2 * gcols[:, None, None, :].astype(dt)
+        addon = jnp.einsum("bhwl,lc->bhwc", prod, w3,
+                           preferred_element_type=jnp.float32)
+        b3term = sum(gates[:, i : i + 1].astype(jnp.float32)
+                     * els[i][2][1][None].astype(jnp.float32)
+                     for i in range(self.num_experts))  # (B, C)
+        out = xh + (addon + b3term[:, None, None, :]).astype(dt)
         return Conv(c, 1, use_bias=True, name="proj", **kw)(out)
 
 
@@ -376,8 +413,15 @@ class FD_MEE(nn.Module):
         low, high = FD(self.channels, name="spilit", **kw)(x, train=train)
         high = MEE(self.channels, self.num_experts, name="high_block", **kw)(high)
         low = MEE(self.channels, self.num_experts, name="low_block", **kw)(low)
-        out = jnp.concatenate([high, low], axis=-1)
-        return Conv(self.channels, 1, use_bias=True, name="proj", **kw)(out)
+        # proj over the concat == sum of half matmuls (no 2C round trip)
+        c = self.channels
+        kp, bp = ConvParams(c, 2 * c, 1, True, param_dtype=self.param_dtype,
+                            name="proj")()
+        out = (jnp.einsum("bhwc,cd->bhwd", high, kp[0, 0, :c].astype(high.dtype),
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bhwc,cd->bhwd", low, kp[0, 0, c:].astype(low.dtype),
+                            preferred_element_type=jnp.float32))
+        return (out + bp).astype(x.dtype)
 
 
 # ------------------------------------------------------- frequency Block ----
@@ -559,8 +603,12 @@ class Upsample(nn.Module):
 
 
 @register_model("measnet")
-class MEASNet(nn.Module):
-    """MEASNet.py:286-361 (class IRmodel)."""
+class MEASNet(BlockStackMixin, nn.Module):
+    """MEASNet.py:286-361 (class IRmodel).
+
+    The backbone stacks ARE Restormer TransformerBlocks, so the serving
+    fast paths ride ``BlockStackMixin`` unchanged: ``fused_block`` (2-pass
+    canvas kernel per level) and ``scan_blocks`` (per-stack nn.scan)."""
 
     inp_channels: int = 3
     out_channels: int = 3
@@ -573,18 +621,13 @@ class MEASNet(nn.Module):
     ln_type: str = "WithBias"
     atom_num: int = 32
     atom_dim: int = 256
+    fold_dwconv: bool = False
+    fused_gdfn: bool = False
+    fused_attn: bool = False
+    fused_block: bool = False  # whole-block 2-pass canvas kernel (fastest)
+    scan_blocks: bool = False  # nn.scan over each level's blocks (fast compile)
     dtype: Any = None
     param_dtype: Any = jnp.float32
-
-    def _blocks(self, dim, heads, n, prefix):
-        return [
-            TransformerBlock(
-                dim=dim, num_heads=heads, expansion=self.ffn_expansion_factor,
-                use_bias=self.use_bias, ln_type=self.ln_type, dtype=self.dtype,
-                param_dtype=self.param_dtype, name=f"{prefix}_{i}",
-            )
-            for i in range(n)
-        ]
 
     @nn.compact
     def __call__(self, inp_img, train: bool = False):
@@ -598,31 +641,27 @@ class MEASNet(nn.Module):
 
         harm1, aux = STPG_G_MESE(self.atom_dim, d, self.ffn_expansion_factor,
                                  name="stpg_g_mese1", **kw)(feats, prompt, train=train)
-        enc1 = harm1
-        for blk in self._blocks(d, self.heads[0], self.num_blocks[0], "encoder_level1"):
-            enc1 = blk(enc1)
+        enc1 = self._run_level(
+            harm1, (d, self.heads[0], self.num_blocks[0], "encoder_level1"))
 
         x2 = Downsample(d, name="down1_2", **kw)(enc1)
         # computed for the balance loss but NOT fed forward (MEASNet.py:330-336)
         _, aux2 = STPG_G_MESE(self.atom_dim, d * 2, self.ffn_expansion_factor,
                               name="stpg_g_mese2", **kw)(x2, prompt, train=train)
         aux = aux + aux2
-        enc2 = x2
-        for blk in self._blocks(d * 2, self.heads[1], self.num_blocks[1], "encoder_level2"):
-            enc2 = blk(enc2)
+        enc2 = self._run_level(
+            x2, (d * 2, self.heads[1], self.num_blocks[1], "encoder_level2"))
 
         x3 = Downsample(d * 2, name="down2_3", **kw)(enc2)
         _, aux3 = STPG_G_MESE(self.atom_dim, d * 4, self.ffn_expansion_factor,
                               name="stpg_g_mese3", **kw)(x3, prompt, train=train)
         aux = aux + aux3
-        enc3 = x3
-        for blk in self._blocks(d * 4, self.heads[2], self.num_blocks[2], "encoder_level3"):
-            enc3 = blk(enc3)
+        enc3 = self._run_level(
+            x3, (d * 4, self.heads[2], self.num_blocks[2], "encoder_level3"))
 
         x4 = Downsample(d * 4, name="down3_4", **kw)(enc3)
-        latent = x4
-        for blk in self._blocks(d * 8, self.heads[3], self.num_blocks[3], "latent"):
-            latent = blk(latent)
+        latent = self._run_level(
+            x4, (d * 8, self.heads[3], self.num_blocks[3], "latent"))
         latent = FreqBlock(d * 8, self.heads[2], self.use_bias,
                            name="block1", **kw)(x, latent)
 
@@ -630,8 +669,8 @@ class MEASNet(nn.Module):
         dec3 = jnp.concatenate([dec3, enc3], axis=-1)
         dec3 = Conv(d * 4, 1, use_bias=self.use_bias, name="reduce_chan_level3", **kw)(dec3)
         dec3 = FD_MEE(d * 4, name="fe_mee1", **kw)(dec3, train=train)
-        for blk in self._blocks(d * 4, self.heads[2], self.num_blocks[2], "decoder_level3"):
-            dec3 = blk(dec3)
+        dec3 = self._run_level(
+            dec3, (d * 4, self.heads[2], self.num_blocks[2], "decoder_level3"))
         dec3 = FreqBlock(d * 4, self.heads[2], self.use_bias,
                          name="block2", **kw)(x, dec3)
 
@@ -639,18 +678,18 @@ class MEASNet(nn.Module):
         dec2 = jnp.concatenate([dec2, enc2], axis=-1)
         dec2 = Conv(d * 2, 1, use_bias=self.use_bias, name="reduce_chan_level2", **kw)(dec2)
         dec2 = FD_MEE(d * 2, name="fe_mee2", **kw)(dec2, train=train)
-        for blk in self._blocks(d * 2, self.heads[1], self.num_blocks[1], "decoder_level2"):
-            dec2 = blk(dec2)
+        dec2 = self._run_level(
+            dec2, (d * 2, self.heads[1], self.num_blocks[1], "decoder_level2"))
         dec2 = FreqBlock(d * 2, self.heads[2], self.use_bias,
                          name="block3", **kw)(x, dec2)
 
         dec1 = Upsample(d * 2, name="up2_1", **kw)(dec2)
         dec1 = jnp.concatenate([dec1, enc1], axis=-1)
         dec1 = FD_MEE(d * 2, name="fe_mee3", **kw)(dec1, train=train)
-        for blk in self._blocks(d * 2, self.heads[0], self.num_blocks[0], "decoder_level1"):
-            dec1 = blk(dec1)
-        for blk in self._blocks(d * 2, self.heads[0], self.num_refinement_blocks, "refinement"):
-            dec1 = blk(dec1)
+        dec1 = self._run_level(
+            dec1,
+            (d * 2, self.heads[0], self.num_blocks[0], "decoder_level1"),
+            (d * 2, self.heads[0], self.num_refinement_blocks, "refinement"))
 
         out = Conv(self.out_channels, 3, padding=1, use_bias=self.use_bias,
                    name="output", **kw)(dec1) + x

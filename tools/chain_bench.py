@@ -43,3 +43,17 @@ def marginal(fn, x, n1=4, n2=12, reps=5):
     t1 = _time(_chain_prog(fn, x, n1), x, reps)
     t2 = _time(_chain_prog(fn, x, n2), x, reps)
     return (t2 - t1) / (n2 - n1)
+
+
+def marginal_adaptive(fn, x, target_s=0.06, max_apps=48, reps=4):
+    """Like ``marginal`` but sizes the chain so the differenced delta is at
+    least ``target_s`` seconds of kernel work — at sub-ms per-block costs the
+    default 8-application delta is comparable to tunnel jitter (r4 measured
+    the SAME compiled program at 0.95 and 1.49 ms/block across runs).
+    ``max_apps`` bounds XLA compile time of the unrolled chain."""
+    est = marginal(fn, x, n1=2, n2=8, reps=2)
+    dn = max(8, min(max_apps, int(target_s / max(est, 1e-5)) + 1))
+    n1 = 2
+    t1 = _time(_chain_prog(fn, x, n1), x, reps)
+    t2 = _time(_chain_prog(fn, x, n1 + dn), x, reps)
+    return (t2 - t1) / dn
