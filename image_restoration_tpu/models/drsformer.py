@@ -235,19 +235,14 @@ class OperationLayer(nn.Module):
             DilConvOp(self.c, 7, name="_ops_6", **kw)(x),
             _avg_pool3x3_exclude_pad(x),
         ]
-        # conv1x1(concat_i(w_i * out_i)) == sum_i w_i * (out_i @ K_i): never
-        # materialize the 8c-channel concat (a full-res HBM round trip per
-        # step that dwarfed the op bank itself); fp32 accumulation only
-        # tightens the conv's own fp32-accumulate semantics.
-        kern, _ = ConvParams(self.c, 8 * self.c, 1, use_bias=False,
-                             param_dtype=self.param_dtype, name="_out_0")()
-        acc = 0.0
-        for i, o in enumerate(outs):
-            ki = kern[0, 0, i * self.c : (i + 1) * self.c, :].astype(o.dtype)
-            term = jnp.einsum("bhwc,cd->bhwd", o, ki,
-                              preferred_element_type=jnp.float32)
-            acc = acc + term * weights[:, i].reshape(-1, 1, 1, 1).astype(jnp.float32)
-        return nn.relu(acc).astype(x.dtype)
+        # Keep the 8c concat + ONE 1x1: a sum of 8 separate c->c dots was
+        # A/B'd (r4) and lost — XLA materializes the 8 op outputs either way,
+        # and 8 small dots beat neither the single wide MXU matmul nor the
+        # one extra concat buffer.
+        states = [o * weights[:, i].reshape(-1, 1, 1, 1).astype(o.dtype)
+                  for i, o in enumerate(outs)]
+        cat = jnp.concatenate(states, axis=-1)
+        return nn.relu(Conv(self.c, 1, use_bias=False, name="_out_0", **kw)(cat))
 
 
 class Subnet(nn.Module):
