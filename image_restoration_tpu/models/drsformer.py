@@ -84,8 +84,96 @@ class TKSA(nn.Module):
         return Conv(c, 1, use_bias=self.use_bias, name="project_out", **kw)(out)
 
 
+def _msfn_layout(hidden: int, part: int = 128):
+    """Interleave-free layout for MSFN's two stages (DRSformer_arch.py:62-99).
+
+    The reference computes d3 = relu(dw3(u)), d5 = relu(dw5(u)) over the
+    2H-channel u, then for each path p (x1/x2) a grouped conv with 2
+    in-channels per group over concat[p] = [d3-half | d5-half]: group g reads
+    concat channels (2g, 2g+1). Expressed directly, that takes strided
+    channel interleaves of 134 MB tensors — cross-lane relayouts on TPU.
+
+    Instead, every permutation moves into the WEIGHTS: project_in's output
+    columns are gathered so u lands pre-permuted in "slot" order where each
+    group's two operands sit at the SAME offset of two adjacent 128-aligned
+    streams (A, B), grouped into four regions per path:
+      [A3 B3] k3-sourced slots (stage-1 3x3 bank, gathered) and
+      [A5 B5] k5-sourced slots (stage-1 5x5 bank).
+    The one mixed group an odd H produces (operands d3[H-1] and d5[0]) rides
+    the k5 region with its 3x3 kernel zero-padded to 5x5 — exact, and it
+    keeps every pair co-located so relu(sum) stays correct. The group output
+    is then t[A]+t[B] slotwise, and project_out's rows are gathered to match
+    (pad slots get zero rows). Same contraction as the reference, fully
+    128-aligned, zero activation relayouts.
+
+    Returns (numpy arrays) dict with per-slot source/bank/row indices.
+    """
+    import numpy as np
+
+    H = hidden
+
+    def pad_to(n):
+        return -(-n) // 1 * 0 + ((n + part - 1) // part) * part
+
+    per_path = []
+    for path in range(2):
+        base = H * path
+        pure3, pure5, mixed = [], [], []
+        for g in range(H):
+            i0, i1 = 2 * g, 2 * g + 1
+            k0, k1 = i0 < H, i1 < H  # True = d3-sourced
+            if k0 and k1:
+                pure3.append(g)
+            elif not k0 and not k1:
+                pure5.append(g)
+            else:
+                mixed.append(g)  # i0 = H-1 (d3), i1 = H (d5)
+        assert len(mixed) <= 1
+        L3 = pad_to(len(pure3))
+        L5 = pad_to(len(pure5) + len(mixed))
+
+        def entry(i, tap, g, promote):
+            # concat index i -> (u src channel, stage-1 bank, bank channel)
+            if i < H:
+                return dict(src=base + i, bank=3 if not promote else 5,
+                            bch=base + i, promote=promote, tap=tap, g=g)
+            return dict(src=base + i - H, bank=5, bch=base + i - H,
+                        promote=False, tap=tap, g=g)
+
+        pad = dict(src=0, bank=0, bch=0, promote=False, tap=0, g=-1)
+        A3 = [entry(2 * g, 0, g, False) for g in pure3] + [pad] * (L3 - len(pure3))
+        B3 = [entry(2 * g + 1, 1, g, False) for g in pure3] + [pad] * (L3 - len(pure3))
+        A5 = ([entry(2 * g, 0, g, False) for g in pure5]
+              + [entry(2 * g, 0, g, True) for g in mixed])
+        B5 = ([entry(2 * g + 1, 1, g, False) for g in pure5]
+              + [entry(2 * g + 1, 1, g, False) for g in mixed])
+        A5 += [pad] * (L5 - len(A5))
+        B5 += [pad] * (L5 - len(B5))
+        per_path.append(dict(A3=A3, B3=B3, A5=A5, B5=B5, L3=L3, L5=L5))
+
+    # global slot order: [p0A3 p0B3 p1A3 p1B3 | p0A5 p0B5 p1A5 p1B5]
+    k3_slots = (per_path[0]["A3"] + per_path[0]["B3"]
+                + per_path[1]["A3"] + per_path[1]["B3"])
+    k5_slots = (per_path[0]["A5"] + per_path[0]["B5"]
+                + per_path[1]["A5"] + per_path[1]["B5"])
+    slots = k3_slots + k5_slots
+
+    def arr(key):
+        return np.array([s[key] for s in slots], np.int32)
+
+    return dict(
+        src=arr("src"), bank=arr("bank"), bch=arr("bch"),
+        promote=np.array([s["promote"] for s in slots], bool),
+        tap=arr("tap"), g=arr("g"),
+        valid=np.array([s["g"] >= 0 for s in slots], bool),
+        n_k3=len(k3_slots),
+        L3=(per_path[0]["L3"], per_path[1]["L3"]),
+        L5=(per_path[0]["L5"], per_path[1]["L5"]),
+    )
+
+
 class MSFN(nn.Module):
-    """Mixed-scale FFN (:62-99)."""
+    """Mixed-scale FFN (:62-99), interleave-free formulation (_msfn_layout)."""
 
     dim: int
     expansion: float = 2.66
@@ -95,55 +183,99 @@ class MSFN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import numpy as np
+
+        from image_restoration_tpu.ops.common import _dwconv_taps
+
         hidden = int(self.dim * self.expansion)
+        H = hidden
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = Conv(hidden * 2, 1, use_bias=self.use_bias, name="project_in", **kw)(x)
-        d3 = nn.relu(Conv(hidden * 2, 3, padding=1, groups=hidden * 2,
-                          use_bias=self.use_bias, name="dwconv3x3", **kw)(x))
-        d5 = nn.relu(Conv(hidden * 2, 5, padding=2, groups=hidden * 2,
-                          use_bias=self.use_bias, name="dwconv5x5", **kw)(x))
-        x13, x23 = jnp.split(d3, 2, axis=-1)
-        x15, x25 = jnp.split(d5, 2, axis=-1)
-        # Stage 2 is a grouped conv (2 in-channels per group) over the concat
-        # [x1_3|x1_5]: group g of H reads concat channels (2g, 2g+1), i.e.
-        # tap 0 reads the even interleave and tap 1 the odd one. Build those
-        # two interleaves DIRECTLY from the halves (one H-channel concat
-        # each) instead of materializing the 2H concat AND its two strided
-        # slices — exact, same contraction (DRSformer_arch.py:76-93).
-        x1 = nn.relu(self._grouped2(x13, x15, hidden, 3, "dwconv3x3_1"))
-        x2 = nn.relu(self._grouped2(x23, x25, hidden, 5, "dwconv5x5_1"))
-        # project_out over the concat == sum of half matmuls: skip the final
-        # 2H-channel concat round trip too.
+        dt = x.dtype if self.dtype is None else self.dtype
+
+        ki, bi = ConvParams(hidden * 2, self.dim, 1, self.use_bias,
+                            param_dtype=self.param_dtype, name="project_in")()
+        k3b, b3b = ConvParams(hidden * 2, 1, 3, self.use_bias,
+                              param_dtype=self.param_dtype, name="dwconv3x3")()
+        k5b, b5b = ConvParams(hidden * 2, 1, 5, self.use_bias,
+                              param_dtype=self.param_dtype, name="dwconv5x5")()
+        s3b, sb3 = ConvParams(hidden, 2, 3, self.use_bias,
+                              param_dtype=self.param_dtype, name="dwconv3x3_1")()
+        s5b, sb5 = ConvParams(hidden, 2, 5, self.use_bias,
+                              param_dtype=self.param_dtype, name="dwconv5x5_1")()
         kp, bp = ConvParams(self.dim, hidden * 2, 1, self.use_bias,
                             param_dtype=self.param_dtype, name="project_out")()
-        out = (jnp.einsum("bhwc,cd->bhwd", x1, kp[0, 0, :hidden].astype(x1.dtype),
-                          preferred_element_type=jnp.float32)
-               + jnp.einsum("bhwc,cd->bhwd", x2, kp[0, 0, hidden:].astype(x2.dtype),
-                            preferred_element_type=jnp.float32))
+
+        # 128-aligned parts on TPU (lane tile); tiny parts elsewhere so the
+        # CPU test suite doesn't pay 12x pad-slot tap work at dim=8
+        lay = _msfn_layout(hidden,
+                           part=128 if jax.default_backend() == "tpu" else 8)
+        n3 = lay["n_k3"]
+        valid = jnp.asarray(lay["valid"])
+        src = jnp.asarray(lay["src"])
+
+        # project_in with gathered/zeroed columns -> u in slot order
+        w_in = jnp.where(valid[None, :], ki[0, 0][:, src], 0.0)
+        u = jnp.einsum("bhwc,cs->bhws", x.astype(dt), w_in.astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt)
+        if bi is not None:
+            u = u + jnp.where(valid, bi[src], 0.0).astype(dt)
+
+        # stage 1: per-slot dw banks. k3 region uses the 3x3 bank; k5 region
+        # the 5x5 bank, with promoted (mixed-group d3) slots carrying their
+        # 3x3 kernel zero-padded to 5x5.
+        bch = lay["bch"]
+        k3g = k3b[:, :, :, bch[:n3]] * jnp.asarray(lay["valid"][:n3],
+                                                   k3b.dtype)
+        k5g = k5b[:, :, :, bch[n3:]]
+        pad33 = jnp.pad(k3b, ((1, 1), (1, 1), (0, 0), (0, 0)))
+        promote5 = jnp.asarray(lay["promote"][n3:])
+        k5g = jnp.where(promote5[None, None, None, :],
+                        pad33[:, :, :, bch[n3:]], k5g)
+        k5g = k5g * jnp.asarray(lay["valid"][n3:], k5g.dtype)
+        d3 = _dwconv_taps(u[..., :n3], k3g.astype(dt), 1)
+        d5 = _dwconv_taps(u[..., n3:], k5g.astype(dt), 2)
+        if b3b is not None:
+            d3 = d3 + jnp.where(valid[:n3], b3b[bch[:n3]], 0.0).astype(dt)
+            d5 = d5 + jnp.where(valid[n3:],
+                                jnp.where(promote5, b3b[bch[n3:]],
+                                          b5b[bch[n3:]]), 0.0).astype(dt)
+        d3, d5 = nn.relu(d3), nn.relu(d5)
+
+        # stage 2: per-path taps (path0 3x3 bank, path1 5x5) + A/B pair sums.
+        # glo indexes the GLOBAL slot arrays; the region tensors (d3/d5) are
+        # sliced at glo minus their region start.
+        tap, g = lay["tap"], lay["g"]
+        L3p0, L3p1 = lay["L3"]
+        L5p0, L5p1 = lay["L5"]
+        wp = kp[0, 0]  # (2H, dim); rows gathered per sum block below —
+        # duplicated-row linearity absorbs the odd-H mixed group's split
+
+        def s2block(tensor, start, glo, ln, bank, sbias, k, half):
+            sl = jax.lax.slice_in_dim(tensor, glo - start,
+                                      glo - start + 2 * ln, axis=-1)
+            reg_tap = tap[glo : glo + 2 * ln]
+            reg_g = np.maximum(g[glo : glo + 2 * ln], 0)
+            kg = bank[:, :, reg_tap, reg_g]          # (k, k, 2ln)
+            kg = kg * jnp.asarray(g[glo : glo + 2 * ln] >= 0, kg.dtype)
+            t = _dwconv_taps(sl, kg[:, :, None, :].astype(dt), k // 2)
+            s = t[..., :ln] + t[..., ln:]
+            g_a = g[glo : glo + ln]                   # A-stream group ids
+            if sbias is not None:
+                s = s + jnp.where(g_a >= 0, sbias[np.maximum(g_a, 0)],
+                                  0.0).astype(dt)
+            s = nn.relu(s)
+            rows = jnp.where((g_a >= 0)[:, None],
+                             wp[np.maximum(g_a, 0) + half * H], 0.0)
+            return jnp.einsum("bhws,sd->bhwd", s, rows.astype(s.dtype),
+                              preferred_element_type=jnp.float32)
+
+        out = (s2block(d3, 0, 0, L3p0, s3b, sb3, 3, 0)
+               + s2block(d3, 0, 2 * L3p0, L3p1, s5b, sb5, 5, 1)
+               + s2block(d5, n3, n3, L5p0, s3b, sb3, 3, 0)
+               + s2block(d5, n3, n3 + 2 * L5p0, L5p1, s5b, sb5, 5, 1))
         if bp is not None:
             out = out + bp
         return out.astype(x.dtype)
-
-    def _grouped2(self, a, b, groups: int, k: int, name: str):
-        """Grouped conv (2 in-channels/group, 1 out) over concat([a, b]) as
-        two depthwise convs on the even/odd channel interleaves of the
-        concat, built directly from the halves. a/b each carry ``groups``
-        channels (odd counts handled by the general interleave identity)."""
-        from image_restoration_tpu.ops.common import _dwconv_taps
-
-        kern, bias = ConvParams(groups, 2, k, self.use_bias,
-                                param_dtype=self.param_dtype, name=name)()
-        h = a.shape[-1]
-        if h % 2 == 0:
-            even = jnp.concatenate([a[..., 0::2], b[..., 0::2]], axis=-1)
-            odd = jnp.concatenate([a[..., 1::2], b[..., 1::2]], axis=-1)
-        else:  # concat channel 2g is b[2g-h] for 2g >= h, i.e. b's odd slice
-            even = jnp.concatenate([a[..., 0::2], b[..., 1::2]], axis=-1)
-            odd = jnp.concatenate([a[..., 1::2], b[..., 0::2]], axis=-1)
-        kern = kern.astype(a.dtype)
-        out = (_dwconv_taps(even, kern[:, :, 0:1, :], k // 2)
-               + _dwconv_taps(odd, kern[:, :, 1:2, :], k // 2))
-        return out if bias is None else out + bias.astype(a.dtype)
 
 
 class TransformerBlock(nn.Module):

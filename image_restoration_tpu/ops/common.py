@@ -150,6 +150,16 @@ class GroupedConv(nn.Module):
                                                 dtype=self.dtype)
         pads = _normalize_conv_padding(self.padding, k, stride, dilation,
                                        spatial_shape=x.shape[1:3])
+        if (self.feature_group_count == x.shape[-1] == self.features
+                and k[0] == k[1] <= 7 and stride == (1, 1)
+                and dilation[0] == dilation[1]
+                and pads[0] == pads[1] and pads[0][0] == pads[0][1]
+                and jax.default_backend() == "tpu"):
+            # Depthwise (incl. dilated, e.g. DRSformer MEFC DilConvOps) as
+            # shifted FMAs: one fused VPU pass instead of a lax grouped conv,
+            # and partition-safe by construction.
+            out = _dwconv_taps(x, kernel, pads[0][0], dilation[0])
+            return out if bias is None else out + bias
         out = grouped_conv(x, kernel, stride, pads, dilation,
                            self.feature_group_count)
         if bias is not None:
@@ -204,7 +214,7 @@ class Conv(nn.Module):
                                     bias if bias is None else bias.astype(dt),
                                     self.padding, self.groups)
             return out
-        if (self.groups == in_ch == self.features and k <= 5
+        if (self.groups == in_ch == self.features and k <= 7
                 and self.stride == 1 and not isinstance(self.padding, str)
                 and jax.default_backend() == "tpu"):
             # Depthwise small-k conv as k^2 shifted FMAs: XLA fuses the taps
@@ -243,18 +253,22 @@ class Conv(nn.Module):
         )(x)
 
 
-def _dwconv_taps(x, kern, padding: int):
+def _dwconv_taps(x, kern, padding: int, dilation: int = 1):
     """Depthwise conv as shifted elementwise FMAs (one fused VPU pass).
-    x: (B,H,W,C); kern: (k,k,1,C); stride 1, dilation 1."""
+    x: (B,H,W,C); kern: (k,k,1,C); stride 1, tap offsets scaled by
+    ``dilation`` (same semantics as rhs_dilation on the conv op)."""
     k = kern.shape[0]
     b, h, w, c = x.shape
     p = padding
+    d = dilation
+    eff = (k - 1) * d + 1
     xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-    ho, wo = h + 2 * p - k + 1, w + 2 * p - k + 1
+    ho, wo = h + 2 * p - eff + 1, w + 2 * p - eff + 1
     out = None
     for dy in range(k):
         for dx in range(k):
-            sl = jax.lax.slice(xp, (0, dy, dx, 0), (b, dy + ho, dx + wo, c))
+            y0, x0 = dy * d, dx * d
+            sl = jax.lax.slice(xp, (0, y0, x0, 0), (b, y0 + ho, x0 + wo, c))
             t = sl * kern[dy, dx, 0]
             out = t if out is None else out + t
     return out
@@ -334,7 +348,12 @@ def conv2d(
     groups > 1 routes through `grouped_conv` so the kernel gradient (weight
     banks are differentiated!) stays partition-safe."""
     pads = ((padding, padding), (padding, padding))
-    if groups > 1:
+    if (groups == x.shape[-1] == kernel.shape[-1] and kernel.shape[2] == 1
+            and kernel.shape[0] == kernel.shape[1] <= 7 and stride == 1
+            and jax.default_backend() == "tpu"):
+        # depthwise (e.g. HOGformer's constant Sobel banks): fused VPU taps
+        out = _dwconv_taps(x, kernel, padding)
+    elif groups > 1:
         out = grouped_conv(x, kernel, (stride, stride), pads, (1, 1), groups)
     else:
         dn = jax.lax.conv_dimension_numbers(

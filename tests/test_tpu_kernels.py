@@ -152,3 +152,27 @@ def test_dwconv_taps_path_exact():
                 ref += xp[:, dy:dy + 33, dx:dx + 29, :] * kern[dy, dx, 0]
         ref += bias
         np.testing.assert_allclose(y, ref, atol=1e-5)
+
+
+def test_dwconv_taps_dilated_exact():
+    """_dwconv_taps with dilation (the GroupedConv depthwise fast path used
+    by DRSformer's MEFC DilConvOps) must match lax.conv_general_dilated."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_tpu.ops.common import _dwconv_taps, _raw_gconv
+
+    rng = np.random.default_rng(3)
+    # pin fp32 conv precision: on TPU, conv_general_dilated otherwise runs
+    # fp32 operands at bf16 MXU precision while the tap path is fp32 VPU FMAs
+    with jax.default_matmul_precision("highest"):
+        for k, dil in ((3, 2), (5, 2), (7, 2), (7, 1)):
+            pad = (k - 1) * dil // 2
+            x = jnp.asarray(rng.standard_normal((1, 21, 19, 8)), jnp.float32)
+            kern = jnp.asarray(rng.standard_normal((k, k, 1, 8)), jnp.float32)
+            got = jax.jit(_dwconv_taps, static_argnums=(2, 3))(x, kern, pad,
+                                                               dil)
+            ref = jax.jit(_raw_gconv, static_argnums=(2, 3, 4, 5))(
+                x, kern, (1, 1), ((pad, pad), (pad, pad)), (dil, dil), 8)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
