@@ -83,7 +83,8 @@ STATIC_PATH = os.path.join(REPO, "tools", "roofline_static.json")
 
 # models whose benched config ships Pallas whole-block kernels, hiding
 # their FLOPs from XLA cost analysis (see ROOFLINE FIELDS above)
-FUSED = {"restormer", "moce_ir", "adair", "nerd_rain", "cg_ir", "measnet"}
+FUSED = {"restormer", "moce_ir", "adair", "nerd_rain", "cg_ir", "measnet",
+         "drsformer"}
 
 
 def _fill_params(model, x):

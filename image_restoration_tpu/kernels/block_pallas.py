@@ -60,16 +60,19 @@ from image_restoration_tpu.kernels.attn_core_pallas import _reference_core
 
 # ---------------------------------------------------------------- canvas ---
 
-def canvas_pad(x, *, lanes: int = 128):
-    """(B,H,W,C) -> (B,H,WP,CP) with image at columns [1..w], zero borders."""
+def canvas_pad(x, *, lanes: int = 128, border: int = 1):
+    """(B,H,W,C) -> (B,H,WP,CP) with image at columns [border..border+w),
+    zero border columns (the dwconv halo: 1 for 3x3 stacks, 2 for 5x5 —
+    DRSformer's MSFN), lane-padded channels."""
     b, h, w, c = x.shape
-    wp = _round_up(w + 2, 16)
+    wp = _round_up(w + 2 * border, 16)
     cp = _round_up(c, lanes)
-    return jnp.pad(x, ((0, 0), (0, 0), (1, wp - w - 1), (0, cp - c)))
+    return jnp.pad(x, ((0, 0), (0, 0), (border, wp - w - border),
+                       (0, cp - c)))
 
 
-def canvas_unpad(xc, w: int, c: int):
-    return xc[:, :, 1 : 1 + w, :c]
+def canvas_unpad(xc, w: int, c: int, border: int = 1):
+    return xc[:, :, border : border + w, :c]
 
 
 # ---------------------------------------------------------------- pass 1 ---
@@ -78,7 +81,8 @@ def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
                   b_ref, dw_ref, db_ref, v_ref, qkprod_ref, ss_ref,
                   *, th: int, width: int, c_real: int, cps: int,
                   offs: tuple, qk_lo: int, qk_hi: int, ln_bias: bool,
-                  eps: float, h_total: int, bf16_taps: bool = False):
+                  eps: float, h_total: int, bf16_taps: bool = False,
+                  border: int = 1):
     """Slots sit at lane offsets ``offs`` = (v, q, k) (see ``_pack_params``):
     v starts at lane 0 so the canvas write is the granule-aligned slice
     ``acc[:, :, :cps]`` — any junk lanes beyond c_real are annihilated in
@@ -109,7 +113,8 @@ def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, (th2, wp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (th2, wp), 1)
     grow = rows + hi * th - 1
-    valid = (grow >= 0) & (grow < h_total) & (cols >= 1) & (cols <= width)
+    valid = ((grow >= 0) & (grow < h_total) & (cols >= border)
+             & (cols < border + width))
     mask = valid.astype(jnp.float32)[:, :, None]
 
     y2 = y.reshape(th2 * wp, cp).astype(jnp.bfloat16)
@@ -122,7 +127,8 @@ def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
 
     # hoist the 3 column shifts (sublane rotates) out of the 9-tap loop; the
     # row shifts are leading-dim slices, which cost nothing.
-    shifted = [proj[:, kw : kw + width, :] for kw in range(3)]
+    shifted = [proj[:, border - 1 + kw : border - 1 + kw + width, :]
+               for kw in range(3)]
     acc = jnp.zeros((th, width, op), jnp.float32)
     for kh in range(3):
         for kw in range(3):
@@ -132,7 +138,8 @@ def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
     # v slot (lanes [0:c_real]) -> canvas tile, granule-aligned slice store;
     # lanes [c_real:cps] carry junk (q values) that pass 2 annihilates.
     v_ref[0] = jnp.zeros((th, wp, cps), v_ref.dtype)
-    v_ref[0, :, 1 : 1 + width, :] = acc[:, :, :cps].astype(v_ref.dtype)
+    v_ref[0, :, border : border + width, :] = acc[:, :, :cps].astype(
+        v_ref.dtype)
 
     if qk_lo is not None:
         # q^T k over the aligned lane span; no per-slot extraction. 2x the
@@ -260,14 +267,14 @@ def _apply_gdfn_kernel(vprev_ref, vcur_ref, vnext_ref, xprev_ref, xcur_ref,
 
 # -------------------------------------------------------------- assembly ---
 
-def _pack_params(params, c, cp, cps, hp, hidden, offs, op):
-    """Pad every weight into the lane-aligned canvas layout. Slots sit at
-    lane offsets ``offs`` inside op lanes, ordered (v, q, k) — v first so the
-    kernel's canvas write is a granule-aligned slice (see ``_front_kernel``)."""
-    (ln1w, ln1b, w_qkv, b_qkv, w_dw, b_dw, temp, w_proj, b_proj,
-     ln2w, ln2b, w_in, b_in, w_dw2, b_dw2, w_out, b_out) = params
+def pack_front(front, c, cp, cps, offs, op):
+    """Pack the pass-1 (LN1 + qkv + 3x3 dw + proj) weights into the
+    lane-aligned canvas layout. Slots sit at lane offsets ``offs`` inside op
+    lanes, ordered (v, q, k) — v first so the kernel's canvas write is a
+    granule-aligned slice (see ``_front_kernel``). Shared with the DRSformer
+    TKSA front (kernels/drs_block_pallas)."""
+    (ln1w, ln1b, w_qkv, b_qkv, w_dw, b_dw, w_proj, b_proj) = front
     f32, bf = jnp.float32, jnp.bfloat16
-    z = lambda n: jnp.zeros((n,), f32)
 
     def place3(mat2d, dtype):
         rows = mat2d.shape[0]
@@ -292,6 +299,18 @@ def _pack_params(params, c, cp, cps, hp, hidden, offs, op):
                       ((0, cps - c), (0, cp - c)))
     p["bp"] = (jnp.pad(b_proj.astype(f32), (0, cp - c))
                if b_proj is not None else jnp.zeros((cp,), f32))
+    return p
+
+
+def _pack_params(params, c, cp, cps, hp, hidden, offs, op):
+    """Lane-aligned packing for the full Restormer block (front + GDFN)."""
+    (ln1w, ln1b, w_qkv, b_qkv, w_dw, b_dw, temp, w_proj, b_proj,
+     ln2w, ln2b, w_in, b_in, w_dw2, b_dw2, w_out, b_out) = params
+    f32, bf = jnp.float32, jnp.bfloat16
+    z = lambda n: jnp.zeros((n,), f32)
+
+    p = pack_front((ln1w, ln1b, w_qkv, b_qkv, w_dw, b_dw, w_proj, b_proj),
+                   c, cp, cps, offs, op)
     p["ln2w"] = jnp.pad(ln2w.astype(f32), (0, cp - c))
     p["ln2b"] = (jnp.pad(ln2b.astype(f32), (0, cp - c)) if ln2b is not None
                  else jnp.zeros((cp,), f32))
@@ -333,6 +352,74 @@ def _pick_th(vmem_of, h):
     if _VMEM_BUDGET_MB:
         return pick_tile_height(h, vmem_of, budget=_VMEM_BUDGET_MB * 1024 * 1024)
     return pick_tile_height(h, vmem_of)
+
+
+def cur_spec(wp, tt, lanes):
+    """Current row-tile block: (1, tt, wp, lanes) at (bi, hi)."""
+    return pl.BlockSpec((1, tt, wp, lanes), lambda bi, hi: (bi, hi, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def row_spec(h, off, tt, lanes, wp, rows: int = 1):
+    """Halo block of ``rows`` rows at row offset ``off`` (in rows, must be a
+    multiple of ``rows``) from the current tile start; clipped at the image
+    edge (duplicated rows are annihilated by the kernels' row-validity
+    masks). Offsets are expressed in block units of ``rows``."""
+    assert off % rows == 0 and tt % rows == 0 and h % rows == 0
+    return pl.BlockSpec(
+        (1, rows, wp, lanes),
+        lambda bi, hi, off=off, tt=tt: (
+            bi, jnp.clip(hi * (tt // rows) + off // rows, 0, h // rows - 1),
+            0, 0),
+        memory_space=pltpu.VMEM)
+
+
+VSPEC = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def run_front(xc, pk, *, c, cps, offs, op, qk_lo, qk_hi, span, ss_w,
+              ln_bias, eps, width, border: int = 1,
+              interpret: bool = False):
+    """Pass 1 (LN1 -> qkv -> 3x3 dw -> v canvas + q^T k / sumsq accumulators)
+    over a border-``border`` canvas. Shared by the Restormer block
+    (``fused_block``) and the DRSformer TKSA front (drs_block_pallas) —
+    the two attentions differ only in the finalize step."""
+    b, h, wp, cp = xc.shape
+
+    def vmem1(t):
+        return ((t + 2) * wp * cp * 2 + (t + 2) * wp * cp * 4
+                + (t + 2) * wp * op * 4 + t * width * op * 4
+                + t * wp * cps * 2 + span * span * 4)
+
+    th1 = _pick_th(vmem1, h)
+    n1 = h // th1
+    kern1 = functools.partial(
+        _front_kernel, th=th1, width=width, c_real=c, cps=cps, offs=offs,
+        qk_lo=qk_lo, qk_hi=qk_hi, ln_bias=ln_bias, eps=eps, h_total=h,
+        bf16_taps=_BF16_TAPS, border=border)
+    return pl.pallas_call(
+        kern1,
+        grid=(b, n1),
+        in_specs=[row_spec(h, -1, th1, cp, wp), cur_spec(wp, th1, cp),
+                  row_spec(h, th1, th1, cp, wp)] + [VSPEC] * 6,
+        out_specs=[
+            pl.BlockSpec((1, th1, wp, cps), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, span, span), lambda bi, hi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ss_w), lambda bi, hi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, wp, cps), xc.dtype),
+            jax.ShapeDtypeStruct((b, span, span), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, ss_w), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xc, xc, xc, pk["ln1w"], pk["ln1b"], pk["wq"], pk["bq"], pk["dw"],
+      pk["db"])
 
 
 def _reference_block(x, params, num_heads, ln_type, eps, gate=None):
@@ -386,48 +473,9 @@ def _forward(xc, params, cfg, gate=None):
     pk = _pack_params(params, c, cp, cps, hp, hidden, offs, op)
 
     # ---- pass 1 ----
-    def vmem1(t):
-        return ((t + 2) * wp * cp * 2 + (t + 2) * wp * cp * 4
-                + (t + 2) * wp * op * 4 + t * w * op * 4
-                + t * wp * cps * 2 + span * span * 4)
-
-    th1 = _pick_th(vmem1, h)
-    n1 = h // th1
-    cur = lambda tt, lanes: pl.BlockSpec(
-        (1, tt, wp, lanes), lambda bi, hi: (bi, hi, 0, 0),
-        memory_space=pltpu.VMEM)
-    rowb = lambda off, tt, lanes: pl.BlockSpec(
-        (1, 1, wp, lanes),
-        lambda bi, hi, off=off, tt=tt: (bi, jnp.clip(hi * tt + off, 0, h - 1),
-                                        0, 0),
-        memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kern1 = functools.partial(
-        _front_kernel, th=th1, width=w, c_real=c, cps=cps, offs=offs,
-        qk_lo=qk_lo, qk_hi=qk_hi, ln_bias=ln_bias, eps=eps, h_total=h,
-        bf16_taps=_BF16_TAPS)
-    vmap, prod, sss = pl.pallas_call(
-        kern1,
-        grid=(b, n1),
-        in_specs=[rowb(-1, th1, cp), cur(th1, cp),
-                  rowb(th1, th1, cp)] + [vspec] * 6,
-        out_specs=[
-            pl.BlockSpec((1, th1, wp, cps), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, span, span), lambda bi, hi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ss_w), lambda bi, hi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, wp, cps), xc.dtype),
-            jax.ShapeDtypeStruct((b, span, span), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, ss_w), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(xc, xc, xc, pk["ln1w"], pk["ln1b"], pk["wq"], pk["bq"], pk["dw"],
-      pk["db"])
+    vmap, prod, sss = run_front(
+        xc, pk, c=c, cps=cps, offs=offs, op=op, qk_lo=qk_lo, qk_hi=qk_hi,
+        span=span, ss_w=ss_w, ln_bias=ln_bias, eps=eps, width=w)
 
     # ---- finalize: norm rescale + temperature + per-head softmax ----
     temp = params[6]
@@ -479,10 +527,12 @@ def _forward(xc, params, cfg, gate=None):
     out = pl.pallas_call(
         kern2,
         grid=(b, n2),
-        in_specs=[rowb(-1, th2, cps), cur(th2, cps), rowb(th2, th2, cps),
-                  rowb(-1, th2, cp), cur(th2, cp), rowb(th2, th2, cp),
+        in_specs=[row_spec(h, -1, th2, cps, wp), cur_spec(wp, th2, cps),
+                  row_spec(h, th2, th2, cps, wp),
+                  row_spec(h, -1, th2, cp, wp), cur_spec(wp, th2, cp),
+                  row_spec(h, th2, th2, cp, wp),
                   pl.BlockSpec((1, cps, cp), lambda bi, hi: (bi, 0, 0),
-                               memory_space=pltpu.VMEM)] + [vspec] * 9,
+                               memory_space=pltpu.VMEM)] + [VSPEC] * 9,
         out_specs=pl.BlockSpec((1, th2, wp, cp), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, wp, cp), xc.dtype),

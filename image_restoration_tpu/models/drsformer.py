@@ -278,23 +278,123 @@ class MSFN(nn.Module):
         return out.astype(x.dtype)
 
 
+class _TKSAParams(nn.Module):
+    """Param twin of TKSA (temperature / attn1..4 / qkv / qkv_dwconv /
+    project_out) for the fused whole-block path."""
+
+    dim: int
+    num_heads: int
+    use_bias: bool
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        d = self.dim
+        temp = self.param("temperature", nn.initializers.ones,
+                          (self.num_heads, 1, 1), self.param_dtype)
+        mix = tuple(self.param(f"attn{i+1}", nn.initializers.constant(0.2),
+                               (1,), self.param_dtype) for i in range(4))
+        wq, bq = ConvParams(3 * d, d, 1, self.use_bias, self.param_dtype,
+                            name="qkv")()
+        wd, bd = ConvParams(3 * d, 1, 3, self.use_bias, self.param_dtype,
+                            name="qkv_dwconv")()
+        wo, bo = ConvParams(d, d, 1, self.use_bias, self.param_dtype,
+                            name="project_out")()
+        return temp, mix, wq, bq, wd, bd, wo, bo
+
+
+class _MSFNParams(nn.Module):
+    """Param twin of MSFN (project_in / dw banks / stage-2 banks /
+    project_out)."""
+
+    dim: int
+    expansion: float
+    use_bias: bool
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        hidden = int(self.dim * self.expansion)
+        pd = self.param_dtype
+        ki, bi = ConvParams(hidden * 2, self.dim, 1, self.use_bias, pd,
+                            name="project_in")()
+        k3b, b3b = ConvParams(hidden * 2, 1, 3, self.use_bias, pd,
+                              name="dwconv3x3")()
+        k5b, b5b = ConvParams(hidden * 2, 1, 5, self.use_bias, pd,
+                              name="dwconv5x5")()
+        s3b, sb3 = ConvParams(hidden, 2, 3, self.use_bias, pd,
+                              name="dwconv3x3_1")()
+        s5b, sb5 = ConvParams(hidden, 2, 5, self.use_bias, pd,
+                              name="dwconv5x5_1")()
+        kp, bp = ConvParams(self.dim, hidden * 2, 1, self.use_bias, pd,
+                            name="project_out")()
+        return ki, bi, k3b, b3b, k5b, b5b, s3b, sb3, s5b, sb5, kp, bp
+
+
 class TransformerBlock(nn.Module):
     dim: int
     num_heads: int
     expansion: float = 2.66
     use_bias: bool = False
     ln_type: str = "WithBias"
+    fused_block: bool = False  # whole-block 2-pass canvas kernel (serving)
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, w_real: int | None = None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.fused_block:
+            # x is a border-4 canvas from drs_block_pallas.canvas_pad;
+            # w_real is the pre-padding image width (static).
+            from image_restoration_tpu.kernels.drs_block_pallas import (
+                fused_drs_block,
+            )
+            from image_restoration_tpu.models.restormer import _LNParams
+
+            d = self.dim
+            lnw1, lnb1 = _LNParams(self.ln_type, self.param_dtype,
+                                   name="norm1")(d)
+            temp, mix, wq, bq, wd, bd, wo, bo = _TKSAParams(
+                d, self.num_heads, self.use_bias, self.param_dtype,
+                name="attn")()
+            lnw2, lnb2 = _LNParams(self.ln_type, self.param_dtype,
+                                   name="norm2")(d)
+            mp = _MSFNParams(d, self.expansion, self.use_bias,
+                             self.param_dtype, name="ffn")()
+            params = (lnw1, lnb1, wq, bq, wd, bd, temp, mix, wo, bo,
+                      lnw2, lnb2) + mp
+            return fused_drs_block(
+                x, params, (d, w_real, self.num_heads, self.ln_type, 1e-5))
         x = x + TKSA(self.dim, self.num_heads, self.use_bias, name="attn", **kw)(
             LayerNorm(self.ln_type, param_dtype=self.param_dtype, name="norm1")(x))
         x = x + MSFN(self.dim, self.expansion, self.use_bias, name="ffn", **kw)(
             LayerNorm(self.ln_type, param_dtype=self.param_dtype, name="norm2")(x))
         return x
+
+
+class _DRSScanCell(nn.Module):
+    """Scan body: one DRSformer TransformerBlock compiled ONCE per level
+    (stacked params on axis 0) — mirrors restormer._ScanCell."""
+
+    dim: int
+    num_heads: int
+    expansion: float
+    use_bias: bool
+    ln_type: str
+    fused_block: bool
+    w_real: int | None
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, x, _):
+        blk = TransformerBlock(
+            dim=self.dim, num_heads=self.num_heads, expansion=self.expansion,
+            use_bias=self.use_bias, ln_type=self.ln_type,
+            fused_block=self.fused_block, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="block")
+        return blk(x, w_real=self.w_real), None
 
 
 # --- MEFC op bank (:189-353) -------------------------------------------------
@@ -425,15 +525,46 @@ class DRSformer(nn.Module):
     ffn_expansion_factor: float = 2.66
     use_bias: bool = False
     ln_type: str = "WithBias"
+    fused_block: bool = False  # whole-block 2-pass canvas kernel (serving)
+    scan_blocks: bool = False  # nn.scan over each level's blocks
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
-    def _blocks(self, dim, heads, n, prefix):
-        return [TransformerBlock(dim=dim, num_heads=heads,
-                                 expansion=self.ffn_expansion_factor,
-                                 use_bias=self.use_bias, ln_type=self.ln_type,
-                                 dtype=self.dtype, param_dtype=self.param_dtype,
-                                 name=f"{prefix}_{i}") for i in range(n)]
+    def _run_level(self, x, dim, heads, n, prefix):
+        """One resolution's block stack; with fused_block the level runs on
+        a single persistent border-4 canvas (mirrors restormer
+        BlockStackMixin._run_level)."""
+        w = x.shape[2]
+        if self.fused_block:
+            from image_restoration_tpu.kernels.drs_block_pallas import (
+                BORDER,
+                canvas_pad,
+                canvas_unpad,
+            )
+
+            c = x.shape[-1]
+            x = canvas_pad(x, border=BORDER)
+        bkw = dict(dim=dim, num_heads=heads,
+                   expansion=self.ffn_expansion_factor,
+                   use_bias=self.use_bias, ln_type=self.ln_type,
+                   fused_block=self.fused_block, dtype=self.dtype,
+                   param_dtype=self.param_dtype)
+        if self.scan_blocks:
+            cell = nn.scan(
+                _DRSScanCell,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=n,
+            )(w_real=w if self.fused_block else None,
+              name=f"{prefix}_scan", **bkw)
+            x, _ = cell(x, None)
+        else:
+            for i in range(n):
+                blk = TransformerBlock(name=f"{prefix}_{i}", **bkw)
+                x = blk(x, w_real=w) if self.fused_block else blk(x)
+        if self.fused_block:
+            x = canvas_unpad(x, w, c, border=BORDER)
+        return x
 
     @nn.compact
     def __call__(self, inp_img):
@@ -442,32 +573,31 @@ class DRSformer(nn.Module):
         x = inp_img.astype(self.dtype) if self.dtype is not None else inp_img
         feats = Conv(d, 3, padding=1, use_bias=False, name="patch_embed", **kw)(x)
         feats = Subnet(d, name="encoder_level0", **kw)(feats)
-        enc1 = feats
-        for blk in self._blocks(d, self.heads[0], self.num_blocks[0], "encoder_level1"):
-            enc1 = blk(enc1)
+        enc1 = self._run_level(feats, d, self.heads[0], self.num_blocks[0],
+                               "encoder_level1")
         enc2 = Downsample(d, name="down1_2", **kw)(enc1)
-        for blk in self._blocks(d * 2, self.heads[1], self.num_blocks[1], "encoder_level2"):
-            enc2 = blk(enc2)
+        enc2 = self._run_level(enc2, d * 2, self.heads[1], self.num_blocks[1],
+                               "encoder_level2")
         enc3 = Downsample(d * 2, name="down2_3", **kw)(enc2)
-        for blk in self._blocks(d * 4, self.heads[2], self.num_blocks[2], "encoder_level3"):
-            enc3 = blk(enc3)
+        enc3 = self._run_level(enc3, d * 4, self.heads[2], self.num_blocks[2],
+                               "encoder_level3")
         latent = Downsample(d * 4, name="down3_4", **kw)(enc3)
-        for blk in self._blocks(d * 8, self.heads[3], self.num_blocks[3], "latent"):
-            latent = blk(latent)
+        latent = self._run_level(latent, d * 8, self.heads[3],
+                                 self.num_blocks[3], "latent")
         dec3 = Upsample(d * 8, name="up4_3", **kw)(latent)
         dec3 = Conv(d * 4, 1, use_bias=self.use_bias, name="reduce_chan_level3",
                     **kw)(jnp.concatenate([dec3, enc3], -1))
-        for blk in self._blocks(d * 4, self.heads[2], self.num_blocks[2], "decoder_level3"):
-            dec3 = blk(dec3)
+        dec3 = self._run_level(dec3, d * 4, self.heads[2], self.num_blocks[2],
+                               "decoder_level3")
         dec2 = Upsample(d * 4, name="up3_2", **kw)(dec3)
         dec2 = Conv(d * 2, 1, use_bias=self.use_bias, name="reduce_chan_level2",
                     **kw)(jnp.concatenate([dec2, enc2], -1))
-        for blk in self._blocks(d * 2, self.heads[1], self.num_blocks[1], "decoder_level2"):
-            dec2 = blk(dec2)
+        dec2 = self._run_level(dec2, d * 2, self.heads[1], self.num_blocks[1],
+                               "decoder_level2")
         dec1 = Upsample(d * 2, name="up2_1", **kw)(dec2)
         dec1 = jnp.concatenate([dec1, enc1], -1)
-        for blk in self._blocks(d * 2, self.heads[0], self.num_blocks[0], "decoder_level1"):
-            dec1 = blk(dec1)
+        dec1 = self._run_level(dec1, d * 2, self.heads[0], self.num_blocks[0],
+                               "decoder_level1")
         dec1 = Subnet(d * 2, name="refinement", **kw)(dec1)
         out = Conv(self.out_channels, 3, padding=1, use_bias=self.use_bias,
                    name="output", **kw)(dec1) + x
