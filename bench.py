@@ -197,7 +197,11 @@ def _static_costs(name, size, skip_static):
 
         ca = jax.jit(f).lower(params, x).cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
-        ent["flops"] = float(ca.get("flops", 0.0))
+        if float(ca.get("flops", 0.0)) > 0.0:
+            ent["flops"] = float(ca.get("flops"))
+        # else: leave absent — the axon backend sometimes returns an empty
+        # analysis for huge unrolled programs; a cached 0 poisons pct_peak
+        # (drsformer@512 r4). Recompute via tools or a CPU-pinned process.
     if "bytes" not in ent:
         model, _, _ = _make(name, fused=True, scan=False)
         _, _, ca = _chain_program(model, x, 1)

@@ -19,7 +19,10 @@ DRSformer block:
   then folded into A^T W_proj exactly like the Restormer path.
 
   Pass 2 fuses attention-apply + LN2 + MSFN (DRSformer_arch.py:62-99) in
-  the interleave-free slot layout of models/drsformer._msfn_layout:
+  the interleave-free slot layout of ``_msfn_slots`` (per-path or
+  joint-path packing, picked by static VPU tap cost — joint halves the
+  pad waste at small hidden, e.g. dim=48's hidden=127 at the 128 lane
+  granule):
     ao = x + v @ (A^T W_proj) + b          (one MXU matmul, th+8 rows)
     LN2 -> project_in with GATHERED columns -> u in slot order (MXU)
     stage 1: 9-tap 3x3 bank over the k3 region, 25-tap 5x5 bank over the
@@ -46,7 +49,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from image_restoration_tpu.kernels.block_pallas import (
     VSPEC,
-    _pick_th,
     canvas_pad,
     canvas_unpad,
     cur_spec,
@@ -58,6 +60,15 @@ from image_restoration_tpu.kernels.gdfn_pallas import _round_up
 
 BORDER = 4
 HALO = 4  # rows recomputed each side in pass 2 (two 5x5 stages)
+# A/B knobs, captured at import (baked into traced programs — restart to
+# change): IR_DRS_TH forces the pass-2 tile height; IR_DRS_BF16=0 keeps
+# u/d3/d5 in fp32 (more VMEM -> smaller tiles). bf16 storage + th=8
+# measured fastest at 512^2 c=96 (see tools/ab_drs_block.py).
+_FORCE_TH = int(__import__("os").environ.get("IR_DRS_TH", "0"))
+_BF16_STORE = __import__("os").environ.get("IR_DRS_BF16", "1") == "1"
+VMEM_SOFT = 56 * 1024 * 1024  # soft tile-height budget (pass 2 is
+# compute-bound: larger tiles cut the 2r-row halo recompute, worth more
+# than double-buffer headroom here, unlike the traffic-bound GDFN kernel)
 
 
 # ------------------------------------------------------------- reference ---
@@ -160,23 +171,138 @@ def _reference_drs_block(x, params, cfg):
     return x + ffn
 
 
+# ----------------------------------------------------------------- layout ---
+
+def _msfn_slots(hidden: int, part: int = 128):
+    """Slot layout for the MSFN kernel, per-slot general form.
+
+    Each MSFN stage-2 group g of path p reads concat channels (2g, 2g+1)
+    of [d3-half_p | d5-half_p]; a slot is one (group, operand) pair placed
+    in an A or B stream so the pair-sum is two aligned lane blocks. Slots
+    are grouped into a k3 region (stage-1 3x3 bank) and a k5 region
+    (stage-1 5x5 bank; groups with any d5-sourced operand live here, their
+    d3-sourced operand's 3x3 kernel zero-padded to 5x5 = ``promote``).
+
+    Two packings, chosen by VPU tap cost:
+      per-path: each (path, region) A/B stream padded to ``part``
+        separately — four stage-2 groups with uniform stage-2 banks.
+      joint: both paths share one stream per region (half the pad waste
+        when len < part, e.g. hidden=127 at part=128) — two stage-2
+        groups running 5x5 taps with per-slot banks (path-0 slots carry
+        zero-padded 3x3 stage-2 kernels).
+
+    Returns dict: src/valid/bch/promote (S,), n3, and ``groups`` — each
+    {region, off (lanes into region), ln, k, tap/g/half/s2k (2ln,)}.
+    """
+    import numpy as np
+
+    H = hidden
+    pad_to = lambda n: ((n + part - 1) // part) * part
+
+    def path_groups(path):
+        pure3, rest = [], []
+        for g in range(H):
+            if 2 * g + 1 < H:
+                pure3.append(g)
+            else:
+                rest.append(g)  # pure5 + the odd-H mixed group
+        return pure3, rest
+
+    def slot(path, g, operand):
+        # operand 0 -> concat index 2g, 1 -> 2g+1
+        i = 2 * g + operand
+        base = H * path
+        ch = base + i if i < H else base + i - H
+        return dict(src=ch, bch=ch, d3=i < H, promote=False,
+                    tap=operand, g=g, half=path,
+                    s2k=3 if path == 0 else 5, valid=True)
+
+    PADS = dict(src=0, bch=0, d3=True, promote=False, tap=0, g=-1, half=0,
+                s2k=3, valid=False)
+
+    def build(joint: bool):
+        regions = {"3": [], "5": []}  # list of (A_slots, B_slots, meta)
+        for path in (0, 1):
+            pure3, rest = path_groups(path)
+            a3 = [slot(path, g, 0) for g in pure3]
+            b3 = [slot(path, g, 1) for g in pure3]
+            a5 = [slot(path, g, 0) for g in rest]
+            b5 = [slot(path, g, 1) for g in rest]
+            # a d3-sourced operand in the k5 region rides the 5x5 stage-1
+            # bank with its 3x3 kernel zero-padded (exact)
+            for s in a5 + b5:
+                if s["d3"]:
+                    s["promote"] = True
+            regions["3"].append((a3, b3))
+            regions["5"].append((a5, b5))
+
+        slots, groups, region_off = [], [], {}
+        for region in ("3", "5"):
+            region_off[region] = len(slots)
+            off = 0
+            paths = regions[region]
+            if joint:
+                A = paths[0][0] + paths[1][0]
+                B = paths[0][1] + paths[1][1]
+                ln = pad_to(len(A))
+                A += [dict(PADS)] * (ln - len(A))
+                B += [dict(PADS)] * (ln - len(B))
+                k = max((s["s2k"] for s in A + B if s["valid"]), default=3)
+                groups.append(dict(region=region, off=0, ln=ln, k=k,
+                                   A=A, B=B))
+                slots += A + B
+            else:
+                for A, B in paths:
+                    ln = pad_to(len(A))
+                    A = A + [dict(PADS)] * (ln - len(A))
+                    B = B + [dict(PADS)] * (ln - len(B))
+                    k = max((s["s2k"] for s in A + B if s["valid"]),
+                            default=3)
+                    groups.append(dict(region=region, off=off, ln=ln, k=k,
+                                       A=A, B=B))
+                    slots += A + B
+                    off += 2 * ln
+        n3 = region_off["5"]
+        return slots, groups, n3
+
+    def cost(slots, groups, n3):
+        n5 = len(slots) - n3
+        vpu = 9 * n3 + 25 * n5
+        vpu += sum(g["k"] ** 2 * 2 * g["ln"] for g in groups)
+        return vpu + 0.1 * len(slots)  # small matmul/VMEM tiebreak
+
+    cands = [build(False), build(True)]
+    slots, groups, n3 = min(cands, key=lambda t: cost(*t))
+
+    arr = lambda key, dt: np.array([s[key] for s in slots], dt)
+    out = dict(src=arr("src", np.int32), bch=arr("bch", np.int32),
+               valid=arr("valid", bool), promote=arr("promote", bool),
+               n3=n3)
+    out["groups"] = [
+        dict(region=g["region"], off=g["off"], ln=g["ln"], k=g["k"],
+             tap=np.array([s["tap"] for s in g["A"] + g["B"]], np.int32),
+             g=np.array([s["g"] for s in g["A"] + g["B"]], np.int32),
+             half=np.array([s["half"] for s in g["A"] + g["B"]], np.int32),
+             s2k=np.array([s["s2k"] for s in g["A"] + g["B"]], np.int32))
+        for g in groups]
+    return out
+
+
 # ---------------------------------------------------------------- packing ---
 
 def _pack_msfn(msfn, c, cp, hidden, part: int = 128):
-    """MSFN weights in the slot layout (models/drsformer._msfn_layout,
-    part=128): gathered project_in columns / project_out rows, per-region
-    stage-1 tap banks (promoted mixed-group slots carry zero-padded 3x3
-    kernels), and four stage-2 groups' per-slot tap banks. All numpy-indexed
-    gathers happen here, once per block, in plain XLA."""
+    """MSFN weights in the slot layout (``_msfn_slots``): gathered
+    project_in columns / project_out rows, per-region stage-1 tap banks
+    (promoted mixed-group slots carry zero-padded 3x3 kernels), and the
+    stage-2 groups' per-slot tap banks. All numpy-indexed gathers happen
+    here, once per block, in plain XLA."""
     import numpy as np
-
-    from image_restoration_tpu.models.drsformer import _msfn_layout
 
     (ln2w, ln2b, ki, bi, k3b, b3b, k5b, b5b, s3b, sb3, s5b, sb5,
      kp, bp) = msfn
     f32, bf = jnp.float32, jnp.bfloat16
-    lay = _msfn_layout(hidden, part=part)
-    n3 = lay["n_k3"]
+    lay = _msfn_slots(hidden, part=part)
+    n3 = lay["n3"]
     S = lay["src"].shape[0]
     n5 = S - n3
     valid = lay["valid"]
@@ -218,30 +344,36 @@ def _pack_msfn(msfn, c, cp, hidden, part: int = 128):
         p["b1_3"] = jnp.zeros((n3,), f32)
         p["b1_5"] = jnp.zeros((n5,), f32)
 
-    # stage-2 groups: (region, offset, ln, k). Per-slot tap banks gathered
-    # from (3,3,2,H)/(5,5,2,H); A-stream group ids pick bias + w_out rows.
-    tap, g = lay["tap"], np.asarray(lay["g"])
-    L3p0, L3p1 = lay["L3"]
-    L5p0, L5p1 = lay["L5"]
+    # stage-2 groups: per-slot tap banks gathered from (3,3,2,H)/(5,5,2,H);
+    # slots whose stage-2 bank is 3x3 inside a k=5 group (joint packing)
+    # carry zero-padded kernels. A-stream ids pick bias + w_out rows.
     wpo = kp.reshape(2 * H, c)
+    s3p = jnp.pad(s3b, ((1, 1), (1, 1), (0, 0), (0, 0)))  # 3x3 -> 5x5
     groups = []
-    meta = [("3", 0, L3p0, 3, s3b, sb3, 0),
-            ("3", 2 * L3p0, L3p1, 5, s5b, sb5, 1),
-            ("5", 0, L5p0, 3, s3b, sb3, 0),
-            ("5", 2 * L5p0, L5p1, 5, s5b, sb5, 1)]
-    for region, off, ln, k, bank, sbias, half in meta:
-        glo = off + (0 if region == "3" else n3)
-        sl_tap = tap[glo : glo + 2 * ln]
-        sl_g = np.maximum(g[glo : glo + 2 * ln], 0)
-        sl_ok = jnp.asarray((g[glo : glo + 2 * ln] >= 0), f32)
-        kg = bank.reshape(k * k, 2, H)[:, sl_tap, sl_g].astype(f32) * sl_ok
-        g_a = g[glo : glo + ln]
+    for gm in lay["groups"]:
+        k, ln = gm["k"], gm["ln"]
+        tap = gm["tap"]
+        gid = np.maximum(gm["g"], 0)
+        ok = jnp.asarray(gm["g"] >= 0, f32)
+        if k == 3:
+            bank = s3b.reshape(9, 2, H)
+            kg = bank[:, tap, gid].astype(f32) * ok
+        else:
+            b3 = s3p.reshape(25, 2, H)[:, tap, gid]
+            b5 = s5b.reshape(25, 2, H)[:, tap, gid]
+            kg = jnp.where(jnp.asarray(gm["s2k"] == 3)[None, :], b3,
+                           b5).astype(f32) * ok
+        g_a, half_a = gm["g"][:ln], gm["half"][:ln]
         ok_a = jnp.asarray(g_a >= 0, f32)
-        sb = (sbias[np.maximum(g_a, 0)].astype(f32) * ok_a
-              if sbias is not None else jnp.zeros((ln,), f32))
-        wo = jnp.pad(wpo[np.maximum(g_a, 0) + half * H] * ok_a[:, None],
+        ga = np.maximum(g_a, 0)
+        if sb3 is not None:
+            sbank = jnp.stack([sb3, sb5])  # (2, H)
+            sb = sbank[half_a, ga].astype(f32) * ok_a
+        else:
+            sb = jnp.zeros((ln,), f32)
+        wo = jnp.pad(wpo[ga + half_a * H] * ok_a[:, None],
                      ((0, 0), (0, cp - c))).astype(bf)
-        groups.append(dict(region=region, off=off, ln=ln, k=k,
+        groups.append(dict(region=gm["region"], off=gm["off"], ln=ln, k=k,
                            kg=kg, sb=sb, wo=wo))
     p["groups"] = groups
     p["bo"] = (jnp.pad(bp.astype(f32), (0, cp - c)) if bp is not None
@@ -255,11 +387,12 @@ def _pack_msfn(msfn, c, cp, hidden, part: int = 128):
 def _apply_msfn_kernel(vp_ref, vc_ref, vn_ref, xp_ref, xc_ref, xn_ref,
                        atw_ref, bp_ref, ln2w_ref, ln2b_ref, wi_ref, bi_ref,
                        dw3_ref, b13_ref, dw5_ref, b15_ref,
-                       kg0_ref, sb0_ref, wo0_ref, kg1_ref, sb1_ref, wo1_ref,
-                       kg2_ref, sb2_ref, wo2_ref, kg3_ref, sb3_ref, wo3_ref,
-                       bo_ref, o_ref, *, th: int, width: int, c_real: int,
+                       *rest, th: int, width: int, c_real: int,
                        n3: int, gmeta: tuple, ln_bias: bool, eps: float,
                        h_total: int):
+    # rest = [kg_i, sb_i, wo_i per stage-2 group ...], bo_ref, o_ref
+    bo_ref, o_ref = rest[-2], rest[-1]
+    grefs = [rest[i : i + 3] for i in range(0, len(rest) - 2, 3)]
     wp = xc_ref.shape[2]
     cp = xc_ref.shape[-1]
     cps = vc_ref.shape[-1]
@@ -299,6 +432,10 @@ def _apply_msfn_kernel(vp_ref, vc_ref, vn_ref, xp_ref, xc_ref, xn_ref,
     u = jnp.dot(y2, wi_ref[:], preferred_element_type=jnp.float32,
                 precision=prec)
     u = (u + bi_ref[:]).reshape(thh, wp, S) * mask
+    if _BF16_STORE:
+        # bf16 tap inputs, fp32 accumulation: ~5% more VPU time but half
+        # the VMEM -> tile heights 2x larger -> less halo recompute
+        u = u.astype(jnp.bfloat16)
 
     # stage 1 over d-frame canvas cols [2, width+6) (covers the stage-2 5x5
     # column halo; positions outside the image are zeroed by the masks) and
@@ -332,13 +469,13 @@ def _apply_msfn_kernel(vp_ref, vc_ref, vn_ref, xp_ref, xc_ref, xn_ref,
     dmask = dvalid.astype(jnp.float32)[:, :, None]
     d3 = jnp.maximum(d3, 0.0) * dmask
     d5 = jnp.maximum(d5, 0.0) * dmask
+    if _BF16_STORE:
+        d3, d5 = d3.astype(jnp.bfloat16), d5.astype(jnp.bfloat16)
 
     # stage 2: out row j <-> global hi*th + j (always interior); out col mo
     # <-> canvas col mo+4 <-> d col mo+2. k=3 reads d rows j+1+t, cols
     # mo+1+s; k=5 reads d rows j+t, cols mo+s.
     out = jnp.zeros((th * width, cp), jnp.float32)
-    grefs = ((kg0_ref, sb0_ref, wo0_ref), (kg1_ref, sb1_ref, wo1_ref),
-             (kg2_ref, sb2_ref, wo2_ref), (kg3_ref, sb3_ref, wo3_ref))
     for (region, off, ln, k), (kg_ref, sb_ref, wo_ref) in zip(gmeta, grefs):
         d = d3 if region == "3" else d5
         sl = d[:, :, off : off + 2 * ln]
@@ -433,24 +570,31 @@ def _forward(xc, params, cfg, interpret: bool = False):
                   for gr in pm["groups"])
 
     mx2ln = max(2 * gr["ln"] for gr in pm["groups"])
+    ud = 2 if _BF16_STORE else 4
 
     def vmem2(t):
         thh = t + 2 * HALO
         return (thh * wp * (cps + cp) * 2      # vs/xs (bf16)
                 + thh * wp * cp * 4            # ao
-                + thh * wp * S * 4             # u (fp32)
-                + (t + 4) * (w + 4) * (n3 + n5) * 4  # d3/d5
+                + thh * wp * S * ud            # u
+                + (t + 4) * (w + 4) * (n3 + n5) * ud  # d3/d5
                 + t * w * mx2ln * 4            # stage-2 accumulator
                 + t * wp * cp * 4 + cp * S * 2)
 
-    th2 = _pick_th(vmem2, h)
-    while th2 % 4 and th2 > 1:
-        th2 = max(t for t in range(1, th2) if h % t == 0)
-    if th2 % 4:
+    cand = [t for t in range(4, min(h, 64) + 1, 4) if h % t == 0]
+    if not cand:
         # no 4-aligned tile divides h: run the reference composition
         x = canvas_unpad(xc, w, c, border=BORDER)
         return canvas_pad(_reference_drs_block(x, params, cfg),
                           border=BORDER)
+    # largest 4-aligned tile under the soft budget; the smallest one
+    # otherwise (the 100 MB hard limit still guards — at th=4 the pass-2
+    # footprint stays ~55 MB even at 512^2 c=96's 1024-slot layout, and a
+    # silent reference fallback costs ~10x)
+    under = [t for t in cand if vmem2(t) <= VMEM_SOFT]
+    th2 = max(under) if under else cand[0]
+    if _FORCE_TH and h % _FORCE_TH == 0 and _FORCE_TH % 4 == 0:
+        th2 = _FORCE_TH
 
     kern2 = functools.partial(
         _apply_msfn_kernel, th=th2, width=w, c_real=c, n3=n3, gmeta=gmeta,
@@ -468,7 +612,8 @@ def _forward(xc, params, cfg, interpret: bool = False):
                   cur_spec(wp, th2, cp),
                   row_spec(h, th2, th2, cp, wp, rows=4),
                   pl.BlockSpec((1, cps, cp), lambda bi_, hi: (bi_, 0, 0),
-                               memory_space=pltpu.VMEM)] + [VSPEC] * 22,
+                               memory_space=pltpu.VMEM)]
+        + [VSPEC] * (10 + 3 * len(pm["groups"])),
         out_specs=pl.BlockSpec((1, th2, wp, cp),
                                lambda bi_, hi: (bi_, hi, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -477,12 +477,82 @@ class OperationLayer(nn.Module):
         return nn.relu(Conv(self.c, 1, use_bias=False, name="_out_0", **kw)(cat))
 
 
+class _GConvLeaf(nn.Module):
+    """Param twin of GroupedConv (kernel at module level, no 'conv' nest)."""
+
+    features: int
+    m: int
+    kernel_size: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (k, k, self.m, self.features), self.param_dtype)
+
+
+class _SepParams(nn.Module):
+    """Param twin of SepConvOp (op_0 dw / op_1 1x1 / op_3 dw / op_4 1x1)."""
+
+    c: int
+    k: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        c, k, pd = self.c, self.k, self.param_dtype
+        dwa, _ = ConvParams(c, 1, k, False, pd, name="op_0")()
+        w1, _ = ConvParams(c, c, 1, False, pd, name="op_1")()
+        dwb, _ = ConvParams(c, 1, k, False, pd, name="op_3")()
+        w2, _ = ConvParams(c, c, 1, False, pd, name="op_4")()
+        return dict(dwa=dwa, w1=w1, dwb=dwb, w2=w2)
+
+
+class _DilParams(nn.Module):
+    """Param twin of DilConvOp (op_0 grouped dw / op_1 1x1)."""
+
+    c: int
+    k: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        dw = _GConvLeaf(self.c, 1, self.k, self.param_dtype, name="op_0")()
+        w1, _ = ConvParams(self.c, self.c, 1, False, self.param_dtype,
+                           name="op_1")()
+        return dict(dw=dw, w1=w1)
+
+
+class _StepParams(nn.Module):
+    """Param twin of OperationLayer (the 8-op bank + concat 1x1)."""
+
+    c: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        sep = [_SepParams(self.c, k, self.param_dtype, name=f"_ops_{i}")()
+               for i, k in enumerate((1, 3, 5, 7))]
+        dil = [_DilParams(self.c, k, self.param_dtype,
+                          name=f"_ops_{4 + i}")()
+               for i, k in enumerate((3, 5, 7))]
+        wcat, _ = ConvParams(self.c, 8 * self.c, 1, False, self.param_dtype,
+                             name="_out_0")()
+        return dict(sep=sep, dil=dil, wcat=wcat)
+
+
 class Subnet(nn.Module):
-    """MEFC: OALayer weights + GroupOLs residual op-mixture steps (:206-353)."""
+    """MEFC: OALayer weights + GroupOLs residual op-mixture steps (:206-353).
+
+    ``fused`` runs each op-mixture step as one Pallas canvas pass
+    (kernels/mefc_pallas) — identical param tree, reference composition on
+    non-TPU backends and in the backward pass."""
 
     dim: int
     layer_num: int = 1
     steps: int = 4
+    fused: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -505,6 +575,15 @@ class Subnet(nn.Module):
         ).astype(x.dtype)
         # GroupOLs: preprocess conv+ReLU, then residual op-mixture steps
         s0 = nn.relu(Conv(self.dim, 1, use_bias=False, name="preprocess", **kw)(x))
+        if self.fused:
+            from image_restoration_tpu.kernels.mefc_pallas import (
+                fused_mefc_steps,
+            )
+
+            raw = [_StepParams(self.dim, self.param_dtype,
+                               name=f"_ops_{st}")()
+                   for st in range(self.steps)]
+            return fused_mefc_steps(s0, raw, weights)
         for st in range(self.steps):
             res = s0
             s0 = OperationLayer(self.dim, name=f"_ops_{st}", **kw)(s0, weights[:, st, :])
@@ -572,7 +651,7 @@ class DRSformer(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x = inp_img.astype(self.dtype) if self.dtype is not None else inp_img
         feats = Conv(d, 3, padding=1, use_bias=False, name="patch_embed", **kw)(x)
-        feats = Subnet(d, name="encoder_level0", **kw)(feats)
+        feats = Subnet(d, fused=self.fused_block, name="encoder_level0", **kw)(feats)
         enc1 = self._run_level(feats, d, self.heads[0], self.num_blocks[0],
                                "encoder_level1")
         enc2 = Downsample(d, name="down1_2", **kw)(enc1)
@@ -598,7 +677,7 @@ class DRSformer(nn.Module):
         dec1 = jnp.concatenate([dec1, enc1], -1)
         dec1 = self._run_level(dec1, d * 2, self.heads[0], self.num_blocks[0],
                                "decoder_level1")
-        dec1 = Subnet(d * 2, name="refinement", **kw)(dec1)
+        dec1 = Subnet(d * 2, fused=self.fused_block, name="refinement", **kw)(dec1)
         out = Conv(self.out_channels, 3, padding=1, use_bias=self.use_bias,
                    name="output", **kw)(dec1) + x
         return out.astype(jnp.float32)
