@@ -57,6 +57,15 @@ DIL_KS = (3, 5, 7)
 # IR_MEFC_TH forces the step-kernel tile height.
 _F32_MIX = __import__("os").environ.get("IR_MEFC_F32", "0") == "1"
 _FORCE_TH = int(__import__("os").environ.get("IR_MEFC_TH", "0"))
+# IR_MEFC_ONLY=sep|dil|pool|sep7|... : profile knob — keep only the named
+# branch(es, comma-separated) in the step kernel. WRONG RESULTS; timing only.
+_ONLY = tuple(f for f in __import__("os").environ.get(
+    "IR_MEFC_ONLY", "").split(",") if f)
+
+
+def _branch_on(name):
+    return not _ONLY or any(name.startswith(o) or o.startswith(name)
+                            for o in _ONLY)
 
 
 def mefc_canvas_pad(x, lanes: int = 128):
@@ -147,6 +156,8 @@ def _step_kernel(xp2_ref, xp1_ref, xc_ref, xn1_ref, xn2_ref,
     x = xs * valid.astype(jnp.float32)[:, :, None]
 
     out = jnp.zeros((th * width, cp), jnp.float32)
+    mcast = (lambda t: t) if _F32_MIX else (
+        lambda t: t.astype(jnp.bfloat16))
 
     # --- SepConv ops: dw_k -> 1x1 -> relu -> dw_k -> M_op ---
     # t1 computed over (th+6) rows x (width+6) cols: t1[j, m] sits at
@@ -163,6 +174,8 @@ def _step_kernel(xp2_ref, xp1_ref, xc_ref, xn1_ref, xn2_ref,
                & (t1cols < 3 + width))
               .astype(jnp.float32)[:, :, None])
     for i, k in enumerate(SEP_KS):
+        if not _branch_on(f"sep{k}"):
+            continue
         r = k // 2
         off = sep_off[i]
         acc1 = None
@@ -173,8 +186,6 @@ def _step_kernel(xp2_ref, xp1_ref, xc_ref, xn1_ref, xn2_ref,
                        : BORDER - 3 - r + s + width + 6, :]
                 term = sl * dwa_ref[off + t * k + s]
                 acc1 = term if acc1 is None else acc1 + term
-        mcast = (lambda t: t) if _F32_MIX else (
-            lambda t: t.astype(jnp.bfloat16))
         t1 = mcast(jnp.maximum(
             jnp.dot(mcast(acc1.reshape((th + 6) * (width + 6), cp)),
                 w1_ref[i],
@@ -193,6 +204,8 @@ def _step_kernel(xp2_ref, xp1_ref, xc_ref, xn1_ref, xn2_ref,
 
     # --- DilConv ops: dilation-2 dw_k -> M_op ---
     for i, k in enumerate(DIL_KS):
+        if not _branch_on(f"dil{k}"):
+            continue
         r = k // 2
         off = dil_off[i]
         accd = None
@@ -208,22 +221,24 @@ def _step_kernel(xp2_ref, xp1_ref, xc_ref, xn1_ref, xn2_ref,
             preferred_element_type=jnp.float32, precision=prec)
 
     # --- AvgPool 3x3, count_include_pad=False ---
-    psum = None
-    for t in range(3):
-        for s in range(3):
-            sl = x[H0 - 1 + t : H0 - 1 + t + th,
-                   BORDER - 1 + s : BORDER - 1 + s + width, :]
-            psum = sl if psum is None else psum + sl
-    orow = jax.lax.broadcasted_iota(jnp.int32, (th, width), 0) + hi * th
-    ocol = jax.lax.broadcasted_iota(jnp.int32, (th, width), 1)
-    cnt_r = (jnp.minimum(orow + 1, h_total - 1) - jnp.maximum(orow - 1, 0)
-             + 1)
-    cnt_c = (jnp.minimum(ocol + 1, width - 1) - jnp.maximum(ocol - 1, 0)
-             + 1)
-    cnt = (cnt_r * cnt_c).astype(jnp.float32)[:, :, None]
-    out = out + jnp.dot(
-        mcast((psum / cnt).reshape(th * width, cp)),
-        m_ref[0, 7], preferred_element_type=jnp.float32, precision=prec)
+    if _branch_on("pool"):
+        psum = None
+        for t in range(3):
+            for s in range(3):
+                sl = x[H0 - 1 + t : H0 - 1 + t + th,
+                       BORDER - 1 + s : BORDER - 1 + s + width, :]
+                psum = sl if psum is None else psum + sl
+        orow = (jax.lax.broadcasted_iota(jnp.int32, (th, width), 0)
+                + hi * th)
+        ocol = jax.lax.broadcasted_iota(jnp.int32, (th, width), 1)
+        cnt_r = (jnp.minimum(orow + 1, h_total - 1)
+                 - jnp.maximum(orow - 1, 0) + 1)
+        cnt_c = (jnp.minimum(ocol + 1, width - 1)
+                 - jnp.maximum(ocol - 1, 0) + 1)
+        cnt = (cnt_r * cnt_c).astype(jnp.float32)[:, :, None]
+        out = out + jnp.dot(
+            mcast((psum / cnt).reshape(th * width, cp)),
+            m_ref[0, 7], preferred_element_type=jnp.float32, precision=prec)
 
     res = x[H0 : H0 + th, BORDER : BORDER + width, :]
     fin = jnp.maximum(jnp.maximum(out.reshape(th, width, cp), 0.0) + res,
