@@ -89,6 +89,15 @@ def make_lr_schedule(cfg, steps_per_epoch: int):
 # init time too, e.g. DarkIR's side projection)
 RECIPE_APPLY_KWARGS = {"darkir": {"side_loss": True}}
 
+# MoE families whose train-time apply must run with train=True so noisy
+# top-k routing engages and the balance aux loss flows to the recipe
+# (MoCE-IR-main/src/train.py:59-88 trains with the aux term; eval routing is
+# deterministic). These models consume only the "moe" rng, which the trainer
+# always threads through (train/trainer.py step_fn).
+MODEL_APPLY_KWARGS = {name: {"train": True} for name in (
+    "moce_ir", "moce_ir_patch", "igmoce_ir", "lumisense_moe", "measnet",
+    "mymodel")}
+
 
 def build_recipe_kwargs(cfg):
     """Recipe closures that need host-loaded data (VGG weights)."""
@@ -239,7 +248,8 @@ def main(argv=None, max_steps_override: int | None = None):
         total_steps = max_steps_override
 
     recipe = cfg.get("recipe", "default")
-    apply_kwargs = RECIPE_APPLY_KWARGS.get(recipe, {})
+    apply_kwargs = {**MODEL_APPLY_KWARGS.get(cfg["model"], {}),
+                    **RECIPE_APPLY_KWARGS.get(recipe, {})}
     tcfg = TrainerConfig(
         learning_rate=lr_sched, weight_decay=cfg.get("weight_decay", 0.0),
         grad_clip=cfg.get("grad_clip"), ema_decay=cfg.get("ema_decay"),
@@ -255,7 +265,8 @@ def main(argv=None, max_steps_override: int | None = None):
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
     sample = next(iter(loader.epoch(0)))
     init_x = jnp.asarray(sample["lq"][:1])
-    params = model.init(rng, init_x, **apply_kwargs)["params"]
+    init_rngs = {"params": rng, "moe": jax.random.PRNGKey(1)}
+    params = model.init(init_rngs, init_x, **apply_kwargs)["params"]
     params = load_style_filter(cfg, params)
     print(f"model={cfg['model']} params={count_params(params)/1e6:.2f}M "
           f"total_steps={total_steps}")

@@ -117,23 +117,58 @@ def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
              & (cols < border + width))
     mask = valid.astype(jnp.float32)[:, :, None]
 
-    y2 = y.reshape(th2 * wp, cp).astype(jnp.bfloat16)
-    proj = jnp.dot(y2, w_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.DEFAULT)
-    proj = (proj + b_ref[:]).reshape(th2, wp, op) * mask
-    if bf16_taps:
-        # A/B knob (IR_TPU_BF16_TAPS): bf16 tap inputs, fp32 accumulation
-        proj = proj.astype(jnp.bfloat16)
+    pipe = _pipe_chunks(th)
+    if not pipe:
+        y2 = y.reshape(th2 * wp, cp).astype(jnp.bfloat16)
+        proj = jnp.dot(y2, w_ref[:], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+        proj = (proj + b_ref[:]).reshape(th2, wp, op) * mask
+        if bf16_taps:
+            # A/B knob (IR_TPU_BF16_TAPS): bf16 tap inputs, fp32 accumulation
+            proj = proj.astype(jnp.bfloat16)
 
-    # hoist the 3 column shifts (sublane rotates) out of the 9-tap loop; the
-    # row shifts are leading-dim slices, which cost nothing.
-    shifted = [proj[:, border - 1 + kw : border - 1 + kw + width, :]
-               for kw in range(3)]
-    acc = jnp.zeros((th, width, op), jnp.float32)
-    for kh in range(3):
-        for kw in range(3):
-            acc = acc + shifted[kw][kh : kh + th] * dw_ref[kh * 3 + kw]
-    acc = acc + db_ref[:]
+        # hoist the 3 column shifts (sublane rotates) out of the 9-tap loop;
+        # the row shifts are leading-dim slices, which cost nothing.
+        shifted = [proj[:, border - 1 + kw : border - 1 + kw + width, :]
+                   for kw in range(3)]
+        acc = jnp.zeros((th, width, op), jnp.float32)
+        for kh in range(3):
+            for kw in range(3):
+                acc = acc + shifted[kw][kh : kh + th] * dw_ref[kh * 3 + kw]
+        acc = acc + db_ref[:]
+    else:
+        # IR_TPU_PIPE: 1-deep software pipe over row chunks — issue the
+        # chunk-(r+1) matmul (MXU) before consuming chunk r's tap loop (VPU)
+        # so the two units overlap. Same math: chunk r's matmul covers rows
+        # [r*rt, r*rt+rt+2) of the th2-row tile (the 2 halo rows recomputed,
+        # (rt+2)/rt extra MXU FLOPs buys the overlap).
+        rt = th // pipe
+        yb = y.astype(jnp.bfloat16)
+
+        def mat(r):
+            rows = yb[r * rt : r * rt + rt + 2].reshape((rt + 2) * wp, cp)
+            p = jnp.dot(rows, w_ref[:], preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+            p = ((p + b_ref[:]).reshape(rt + 2, wp, op)
+                 * mask[r * rt : r * rt + rt + 2])
+            return p.astype(jnp.bfloat16) if bf16_taps else p
+
+        def taps(p):
+            sh = [p[:, border - 1 + kw : border - 1 + kw + width, :]
+                  for kw in range(3)]
+            a = jnp.zeros((rt, width, op), jnp.float32)
+            for kh in range(3):
+                for kw in range(3):
+                    a = a + sh[kw][kh : kh + rt] * dw_ref[kh * 3 + kw]
+            return a
+
+        p_prev = mat(0)
+        accs = []
+        for r in range(pipe):
+            p_next = mat(r + 1) if r + 1 < pipe else None
+            accs.append(taps(p_prev))
+            p_prev = p_next
+        acc = jnp.concatenate(accs, axis=0) + db_ref[:]
 
     # v slot (lanes [0:c_real]) -> canvas tile, granule-aligned slice store;
     # lanes [c_real:cps] carry junk (q values) that pass 2 annihilates.
@@ -232,19 +267,50 @@ def _apply_gdfn_kernel(vprev_ref, vcur_ref, vnext_ref, xprev_ref, xcur_ref,
 
     # cont|gate merged at [0:hp]|[hp:2hp] — one matmul, one mask pass, one
     # tap loop; the halves split back out as granule-aligned (free) slices.
-    y2 = y.reshape(th2 * wp, cp).astype(jnp.bfloat16)
-    cg = jnp.dot(y2, wcg_ref[:], preferred_element_type=jnp.float32,
-                 precision=prec)
-    cg = (cg + bcg_ref[:]).reshape(th2, wp, 2 * hp) * mask
-    if bf16_taps:
-        cg = cg.astype(jnp.bfloat16)
+    pipe = _pipe_chunks(th)
+    if not pipe:
+        y2 = y.reshape(th2 * wp, cp).astype(jnp.bfloat16)
+        cg = jnp.dot(y2, wcg_ref[:], preferred_element_type=jnp.float32,
+                     precision=prec)
+        cg = (cg + bcg_ref[:]).reshape(th2, wp, 2 * hp) * mask
+        if bf16_taps:
+            cg = cg.astype(jnp.bfloat16)
 
-    shifted = [cg[:, kw : kw + width, :] for kw in range(3)]
-    acc = jnp.zeros((th, width, 2 * hp), jnp.float32)
-    for kh in range(3):
-        for kw in range(3):
-            acc = acc + shifted[kw][kh : kh + th] * dwcg_ref[kh * 3 + kw]
-    acc = acc + dbcg_ref[:]
+        shifted = [cg[:, kw : kw + width, :] for kw in range(3)]
+        acc = jnp.zeros((th, width, 2 * hp), jnp.float32)
+        for kh in range(3):
+            for kw in range(3):
+                acc = acc + shifted[kw][kh : kh + th] * dwcg_ref[kh * 3 + kw]
+        acc = acc + dbcg_ref[:]
+    else:
+        # software-pipelined chunks (see _front_kernel): overlap the
+        # cont|gate expand matmul of chunk r+1 with chunk r's tap loop.
+        rt = th // pipe
+        yb = y.astype(jnp.bfloat16)
+
+        def mat(r):
+            rows = yb[r * rt : r * rt + rt + 2].reshape((rt + 2) * wp, cp)
+            p = jnp.dot(rows, wcg_ref[:], preferred_element_type=jnp.float32,
+                        precision=prec)
+            p = ((p + bcg_ref[:]).reshape(rt + 2, wp, 2 * hp)
+                 * mask[r * rt : r * rt + rt + 2])
+            return p.astype(jnp.bfloat16) if bf16_taps else p
+
+        def taps(p):
+            sh = [p[:, kw : kw + width, :] for kw in range(3)]
+            a = jnp.zeros((rt, width, 2 * hp), jnp.float32)
+            for kh in range(3):
+                for kw in range(3):
+                    a = a + sh[kw][kh : kh + rt] * dwcg_ref[kh * 3 + kw]
+            return a
+
+        p_prev = mat(0)
+        accs = []
+        for r in range(pipe):
+            p_next = mat(r + 1) if r + 1 < pipe else None
+            accs.append(taps(p_prev))
+            p_prev = p_next
+        acc = jnp.concatenate(accs, axis=0) + dbcg_ref[:]
     acc_c = acc[:, :, :hp]
     acc_g = acc[:, :, hp:]
 
@@ -346,6 +412,20 @@ def _pack_params(params, c, cp, cps, hp, hidden, offs, op):
 _VMEM_BUDGET_MB = int(__import__("os").environ.get("IR_TPU_VMEM_BUDGET_MB", "0"))
 _QK_MODE = __import__("os").environ.get("IR_TPU_QK_MODE", "")
 _BF16_TAPS = __import__("os").environ.get("IR_TPU_BF16_TAPS", "0") == "1"
+# IR_TPU_PIPE=N (N>1): software-pipeline the matmul->9-tap-dwconv sections
+# of both passes over N row chunks per tile (MXU/VPU overlap A/B knob).
+_PIPE = int(__import__("os").environ.get("IR_TPU_PIPE", "0"))
+
+
+def _pipe_chunks(th: int) -> int:
+    """Effective chunk count for a th-row tile: the largest divisor of th
+    that is <= _PIPE (0 = pipelining off, or chunks would be 1 row deep)."""
+    if _PIPE <= 1:
+        return 0
+    p = min(_PIPE, th)
+    while th % p:
+        p -= 1
+    return p if p > 1 and th // p >= 2 else 0
 
 
 def _pick_th(vmem_of, h):
@@ -432,9 +512,14 @@ def _reference_block(x, params, num_heads, ln_type, eps, gate=None):
         x, (ln2w, ln2b, w_in, b_in, w_dw2, b_dw2, w_out, b_out), ln_type, eps)
 
 
+# test hook: run BOTH pass kernels in pallas interpret mode on CPU instead
+# of the reference fallback (tests/test_fused_block_pipe.py)
+_INTERPRET = False
+
+
 def _forward(xc, params, cfg, gate=None):
     (c, w, num_heads, ln_type, eps) = cfg
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not _INTERPRET:
         x = canvas_unpad(xc, w, c)
         out = _reference_block(x, params, num_heads, ln_type, eps, gate=gate)
         return canvas_pad(out)
@@ -475,7 +560,8 @@ def _forward(xc, params, cfg, gate=None):
     # ---- pass 1 ----
     vmap, prod, sss = run_front(
         xc, pk, c=c, cps=cps, offs=offs, op=op, qk_lo=qk_lo, qk_hi=qk_hi,
-        span=span, ss_w=ss_w, ln_bias=ln_bias, eps=eps, width=w)
+        span=span, ss_w=ss_w, ln_bias=ln_bias, eps=eps, width=w,
+        interpret=_INTERPRET)
 
     # ---- finalize: norm rescale + temperature + per-head softmax ----
     temp = params[6]
@@ -538,6 +624,7 @@ def _forward(xc, params, cfg, gate=None):
         out_shape=jax.ShapeDtypeStruct((b, h, wp, cp), xc.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
     )(vmap, vmap, vmap, xc, xc, xc, atw, pk["bp"], pk["ln2w"],
       pk["ln2b"], pk["wcg"], pk["bcg"], pk["dwcg"], pk["dbcg"],
       pk["wo"], pk["bo"])
