@@ -92,11 +92,13 @@ RECIPE_APPLY_KWARGS = {"darkir": {"side_loss": True}}
 # MoE families whose train-time apply must run with train=True so noisy
 # top-k routing engages and the balance aux loss flows to the recipe
 # (MoCE-IR-main/src/train.py:59-88 trains with the aux term; eval routing is
-# deterministic). These models consume only the "moe" rng, which the trainer
-# always threads through (train/trainer.py step_fn).
-MODEL_APPLY_KWARGS = {name: {"train": True} for name in (
-    "moce_ir", "moce_ir_patch", "igmoce_ir", "lumisense_moe", "measnet",
-    "mymodel")}
+# deterministic). Derived from the models' class-level ``uses_moe_rng`` flag
+# (ADVICE r4: a hardcoded name list silently trained future MoE models with
+# train=False); the "moe" rng itself is always threaded by the trainer.
+def model_apply_kwargs(model) -> dict:
+    if getattr(type(model), "uses_moe_rng", False):
+        return {"train": True}
+    return {}
 
 
 def build_recipe_kwargs(cfg):
@@ -248,7 +250,7 @@ def main(argv=None, max_steps_override: int | None = None):
         total_steps = max_steps_override
 
     recipe = cfg.get("recipe", "default")
-    apply_kwargs = {**MODEL_APPLY_KWARGS.get(cfg["model"], {}),
+    apply_kwargs = {**model_apply_kwargs(model),
                     **RECIPE_APPLY_KWARGS.get(recipe, {})}
     tcfg = TrainerConfig(
         learning_rate=lr_sched, weight_decay=cfg.get("weight_decay", 0.0),
@@ -346,7 +348,11 @@ def main(argv=None, max_steps_override: int | None = None):
                 if ckpt.maybe_save_best(step + 1, jax.device_get(state), val_psnr):
                     best_psnr = val_psnr
                     print(f"step {step + 1}: new best val PSNR {val_psnr:.3f}")
-            ckpt.save(step + 1, jax.device_get(state))
+            # fetch-to-host only on steps that actually save: device_get of
+            # the full train state is ~100 MB through the axon tunnel
+            # (measured ~8 s/step in the r4 learn runs when fetched eagerly)
+            if ckpt.save_every and (step + 1) % ckpt.save_every == 0:
+                ckpt.save(step + 1, jax.device_get(state))
         ckpt.save(total_steps, jax.device_get(state), force=True)
     if best_psnr >= 0:
         print(f"best val PSNR: {best_psnr:.3f}")

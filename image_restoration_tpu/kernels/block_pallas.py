@@ -146,8 +146,8 @@ def _front_kernel(xprev_ref, xcur_ref, xnext_ref, lnw_ref, lnb_ref, w_ref,
         yb = y.astype(jnp.bfloat16)
 
         def mat(r):
-            rows = yb[r * rt : r * rt + rt + 2].reshape((rt + 2) * wp, cp)
-            p = jnp.dot(rows, w_ref[:], preferred_element_type=jnp.float32,
+            chunk = yb[r * rt : r * rt + rt + 2].reshape((rt + 2) * wp, cp)
+            p = jnp.dot(chunk, w_ref[:], preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.DEFAULT)
             p = ((p + b_ref[:]).reshape(rt + 2, wp, op)
                  * mask[r * rt : r * rt + rt + 2])
@@ -289,8 +289,8 @@ def _apply_gdfn_kernel(vprev_ref, vcur_ref, vnext_ref, xprev_ref, xcur_ref,
         yb = y.astype(jnp.bfloat16)
 
         def mat(r):
-            rows = yb[r * rt : r * rt + rt + 2].reshape((rt + 2) * wp, cp)
-            p = jnp.dot(rows, wcg_ref[:], preferred_element_type=jnp.float32,
+            chunk = yb[r * rt : r * rt + rt + 2].reshape((rt + 2) * wp, cp)
+            p = jnp.dot(chunk, wcg_ref[:], preferred_element_type=jnp.float32,
                         precision=prec)
             p = ((p + bcg_ref[:]).reshape(rt + 2, wp, 2 * hp)
                  * mask[r * rt : r * rt + rt + 2])

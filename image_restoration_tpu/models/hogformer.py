@@ -42,7 +42,12 @@ import numpy as np
 
 from image_restoration_tpu.models.registry import register_model
 from image_restoration_tpu.ops.attention import normalized_channel_logits_tok_minor
-from image_restoration_tpu.ops.common import Conv, GroupedConv, conv2d, layer_scale_init
+from image_restoration_tpu.ops.common import (
+    Conv,
+    ConvParams,
+    conv2d,
+    layer_scale_init,
+)
 from image_restoration_tpu.ops.resample import (
     pixel_shuffle,
     pixel_unshuffle,
@@ -118,8 +123,47 @@ class ElementScale(nn.Module):
         return x * scale
 
 
+class _DWParams(nn.Module):
+    """Param twin of a bare GroupedConv depthwise (kernel at '<name>/kernel',
+    no 'conv' nesting — matches the reference dwconv_dilated2_1 layout)."""
+
+    q: int
+    k: int
+    use_bias: bool
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.k, self.k, 1, self.q), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (self.q,),
+                           self.param_dtype) if self.use_bias else None)
+        return kern, bias
+
+
 class FFN_DIFF(nn.Module):
-    """hogformer_arch.py:106-143."""
+    """hogformer_arch.py:106-143.
+
+    Computed entirely in PRE-shuffle (polyphase) space: the reference runs
+    its two dwconv branches at 2x resolution on hidden//2 = 64 channels —
+    a half-lane layout that measures ~10x off the HBM roofline on v5e, with
+    two pixel-(un)shuffle relayouts around it. Here every tensor stays at
+    base resolution with 4*q full-lane channels ordered (ch, phase) — which
+    is exactly the torch PixelShuffle/Unshuffle channel nesting, so
+    project_in/project_out weights apply verbatim and no shuffle ever
+    materializes:
+
+    * the 5x5 dwconv at 2x res == a 3x3 block conv whose taps mix the 4
+      subpixel phases (out pixel (2i+py+a-1-ish...) reads source phase
+      (py-u) mod 2 at block offset floor((py+u-2)/2)); applied as 9 shifted
+      per-channel 4x4 phase-mixing einsums.
+    * the dilation-2 3x3 dwconv at 2x res has all-even offsets == a plain
+      3x3 depthwise conv per (ch, phase) channel — phases never mix.
+    * decompose (1x1 to 1 channel) / sigma / mish / gelu are pointwise:
+      phase-broadcast in block space.
+
+    Exact same function (contractions reassociated only).
+    """
 
     dim: int
     expansion: float = 2.667
@@ -132,24 +176,69 @@ class FFN_DIFF(nn.Module):
         hidden = int(self.dim * self.expansion)
         q = hidden // 4
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = Conv(hidden * 2, 1, use_bias=self.use_bias, name="project_in", **kw)(x)
-        x = pixel_shuffle(x, 2)  # 2h*2w, hidden//2 channels
-        x1, x2 = jnp.split(x, 2, axis=-1)
-        x1 = Conv(q, 5, padding=2, groups=q, use_bias=self.use_bias,
-                  name="dwconv_5", **kw)(x1)
-        # dilated dwconv 3x3, dilation 2, padding 2
-        x2 = GroupedConv(q, (3, 3), padding=[(2, 2), (2, 2)], kernel_dilation=(2, 2),
-                     feature_group_count=q, use_bias=self.use_bias,
-                     dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="dwconv_dilated2_1")(x2)
-        x = mish(x2) * x1
-        # feat_decompose (:127-130): x + sigma*(x - gelu(conv_1ch(x)))
-        sigma = ElementScale(q, 1e-5, self.param_dtype, name="sigma")
-        d = Conv(1, 1, use_bias=True, name="decompose", **kw)(x)
-        x = x + sigma(x - jax.nn.gelu(d, approximate=False))
-        x = pixel_unshuffle(x, 2)
-        x = Conv(self.dim, 1, use_bias=self.use_bias, name="project_out", **kw)(x)
-        return x
+        dt = x.dtype if self.dtype is None else self.dtype
+        xp = Conv(hidden * 2, 1, use_bias=self.use_bias, name="project_in",
+                  **kw)(x)
+        # channels = (ch, py, px) nested: ch*4 + py*2 + px (pixel_shuffle
+        # order); x1 = shuffled channels [0:q) == flat [0:4q)
+        x1, x2 = xp[..., : 4 * q], xp[..., 4 * q :]
+
+        # --- branch 1: 5x5 dw at 2x res -> 9-tap phase-mixing block conv ---
+        k5, b5 = ConvParams(q, 1, 5, self.use_bias, self.param_dtype,
+                            name="dwconv_5")()
+        # route[a, b, ip, op] selects tap (u, v) of the 5x5 kernel:
+        # u = 2(a-1) + rho - py + 2, v = 2(b-1) + sig - px + 2
+        kb = k5[:, :, 0, :].astype(dt)  # (5, 5, q)
+        b_, h_, w_, _ = x1.shape
+        x1v = x1.reshape(b_, h_, w_, q, 4)
+        x1p = jnp.pad(x1v, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+        acc1 = jnp.zeros((b_, h_, w_, q, 4), dt)
+        for a in range(3):
+            for bb in range(3):
+                # (q, ip, op) phase-mixing matrix for this block shift,
+                # gathered from the 5x5 taps (static routing table)
+                m = jnp.zeros((q, 4, 4), dt)
+                for ip in range(4):
+                    rho, sig = ip // 2, ip % 2
+                    for op in range(4):
+                        py, px = op // 2, op % 2
+                        u = 2 * (a - 1) + rho - py + 2
+                        v = 2 * (bb - 1) + sig - px + 2
+                        if 0 <= u < 5 and 0 <= v < 5:
+                            m = m.at[:, ip, op].set(kb[u, v, :])
+                xs = jax.lax.slice(
+                    x1p, (0, a, bb, 0, 0), (b_, a + h_, bb + w_, q, 4))
+                acc1 = acc1 + jnp.einsum("bhwcp,cpq->bhwcq", xs, m)
+        if b5 is not None:
+            acc1 = acc1 + b5.astype(dt)[None, None, None, :, None]
+        x1o = acc1.reshape(b_, h_, w_, 4 * q)
+
+        # --- branch 2: dilation-2 3x3 dw at 2x res == plain 3x3 dw ---
+        k3, b3 = _DWParams(q, 3, self.use_bias, self.param_dtype,
+                           name="dwconv_dilated2_1")()
+        k3r = jnp.repeat(k3, 4, axis=-1)  # (3,3,1,4q): phase-broadcast
+        x2o = conv2d(x2.astype(dt), k3r.astype(dt), padding=1, groups=4 * q)
+        if b3 is not None:
+            x2o = x2o + jnp.repeat(b3, 4).astype(dt)
+
+        y = mish(x2o) * x1o
+        # feat_decompose (:127-130): x + sigma*(x - gelu(conv_1ch(x)));
+        # decompose is 1x1 over the q "real" channels, shared across phases
+        wd, bd = ConvParams(1, q, 1, True, self.param_dtype,
+                            name="decompose")()
+        y6 = y.reshape(b_, h_, w_, q, 4)
+        d = jnp.einsum("bhwcp,c->bhwp", y6, wd[0, 0, :, 0].astype(dt))
+        d = d + bd.astype(dt)[0]
+        g = jax.nn.gelu(d.astype(jnp.float32), approximate=False).astype(dt)
+        # same param tree as the reference ElementScale ("sigma/scale"):
+        # applying the module to ones returns the scale vector itself
+        sigma = ElementScale(q, 1e-5, self.param_dtype, name="sigma")(
+            jnp.ones((q,), self.param_dtype))
+        sig4 = jnp.repeat(sigma, 4).astype(dt)
+        y = y + sig4 * (y - jnp.repeat(g[..., None, :], q, axis=-2
+                                       ).reshape(b_, h_, w_, 4 * q))
+        return Conv(self.dim, 1, use_bias=self.use_bias, name="project_out",
+                    **kw)(y)
 
 
 class Attention_DHOGSA(nn.Module):
@@ -253,6 +342,47 @@ class Attention_DHOGSA(nn.Module):
         qkv = Conv(self.dim * 5, 1, use_bias=self.use_bias, name="qkv", **kw)(x)
         qkv = Conv(self.dim * 5, 3, padding=1, groups=self.dim * 5,
                    use_bias=self.use_bias, name="qkv_dwconv", **kw)(qkv)
+        temperature = self.param(
+            "temperature", nn.initializers.ones, (self.num_heads, 1, 1),
+            self.param_dtype,
+        )
+
+        if self.num_heads == 1:
+            # Sort-free fast path, EXACT for one head: with factor f=1 the
+            # box and strided groupings coincide ((b,1,C,T) both), and C x C
+            # channel attention is invariant under any token permutation —
+            # q^T k and the per-channel L2 norms sum over ALL tokens, and
+            # A @ v is pointwise in the token index, so sort -> attend ->
+            # un-sort == attend (reference :279-306 composes to identity).
+            # Skips the v-Sobel/arctan2 key, the T log^2 T argsort, the
+            # (T,5c) gather and the inverse-permutation gather — the
+            # dominant HBM traffic of the level-1 blocks at 512^2.
+            qkv_t = qkv.reshape(b, h * w, 5 * c)
+            q1, k1, q2, k2, vs = jnp.split(qkv_t, 5, axis=-1)
+
+            def attn_f1(q, k):
+                raw = jnp.einsum("btc,btd->bcd", q, k,
+                                 preferred_element_type=jnp.float32)
+                qn = jnp.sqrt(jnp.einsum("btc,btc->bc", q, q,
+                                         preferred_element_type=jnp.float32))
+                kn = jnp.sqrt(jnp.einsum("btc,btc->bc", k, k,
+                                         preferred_element_type=jnp.float32))
+                denom = (jnp.maximum(qn, 1e-12)[:, :, None]
+                         * jnp.maximum(kn, 1e-12)[:, None, :])
+                a = jnp.exp(raw / denom * temperature[0])
+                a = a / (jnp.sum(a, axis=-1, keepdims=True) + 1.0)
+                return a.astype(vs.dtype)
+
+            o1 = jnp.einsum("bcd,btd->btc", attn_f1(q1, k1), vs)
+            o2 = jnp.einsum("bcd,btd->btc", attn_f1(q2, k2), vs)
+            out = (o1 * o2).reshape(b, h, w, c)
+            out = Conv(self.dim, 1, use_bias=self.use_bias,
+                       name="project_out", **kw)(out)
+            p_out, info2 = _split_patches(out[..., :half], p)
+            p_out = jnp.einsum("bpst,bpcs->bpct", perm, p_out)
+            out_half = _merge_patches(p_out, p, info2)
+            return jnp.concatenate([out_half, out[..., half:]], axis=-1)
+
         v = qkv[..., 4 * c:]
         kxc, kyc = _sobel_kernels(c, x.dtype)
         gxv = conv2d(v, kxc, padding=1, groups=c)
@@ -266,10 +396,6 @@ class Attention_DHOGSA(nn.Module):
         qkv_s = jnp.take_along_axis(qkv.reshape(b, h * w, 5 * c),
                                     idx[:, :, None], axis=1)
         q1, k1, q2, k2, vs = jnp.split(qkv_s, 5, axis=-1)
-        temperature = self.param(
-            "temperature", nn.initializers.ones, (self.num_heads, 1, 1),
-            self.param_dtype,
-        )
         out1 = self._reshape_attn(q1, k1, vs, temperature, box=True)
         out2 = self._reshape_attn(q2, k2, vs, temperature, box=False)
         # reference "scatter" un-sort (:299-300) = gather by inverse perm;

@@ -610,6 +610,10 @@ class MEASNet(BlockStackMixin, nn.Module):
     fast paths ride ``BlockStackMixin`` unchanged: ``fused_block`` (2-pass
     canvas kernel per level) and ``scan_blocks`` (per-stack nn.scan)."""
 
+    # class-level flag (not a dataclass field): the trainer derives the
+    # train=True apply set from this instead of a hardcoded name list
+    uses_moe_rng = True
+
     inp_channels: int = 3
     out_channels: int = 3
     dim: int = 48

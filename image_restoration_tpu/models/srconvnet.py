@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from image_restoration_tpu.models.registry import register_model
-from image_restoration_tpu.ops.common import Conv, ConvParams, gelu_exact, grouped_conv
+from image_restoration_tpu.ops.common import Conv, ConvParams, conv2d, gelu_exact
 from image_restoration_tpu.ops.fft import FourierUnit
 from image_restoration_tpu.ops.layernorm import LayerNorm2d
 from image_restoration_tpu.ops.resample import pixel_shuffle, resize_bilinear
@@ -111,11 +111,12 @@ class KernelAggregation(nn.Module):
         xt = x.transpose(1, 2, 0, 3).reshape(1, h, w, b * c)
         kern = wk.transpose(3, 4, 2, 0, 1).reshape(k, k, cig, b * self.dim)
         dt = x.dtype
-        # grouped_conv: the kernel here is a differentiable weight bank, so
-        # its gradient must take the partition-safe path (ops/common.py)
-        out = grouped_conv(
-            xt.astype(dt), kern.astype(dt), (1, 1),
-            ((k // 2, k // 2),) * 2, (1, 1), b * self.groups,
+        # conv2d: depthwise banks ride the TPU taps path; other group
+        # counts take the partition-safe grouped_conv (the kernel is a
+        # differentiable weight bank)
+        out = conv2d(
+            xt.astype(dt), kern.astype(dt), stride=1, padding=k // 2,
+            groups=b * self.groups,
         )
         out = out.reshape(h, w, b, c).transpose(2, 0, 1, 3)
         if self.use_bias:
@@ -232,8 +233,11 @@ class MixFFN(nn.Module):
         wk = jnp.concatenate([wk1, wk2], axis=1)                   # (B,2c,1,7,7)
         xt = xp.transpose(1, 2, 0, 3).reshape(1, h, w, bsz * 2 * c)
         kern = wk.transpose(3, 4, 2, 0, 1).reshape(7, 7, 1, bsz * 2 * c)
-        y = grouped_conv(xt.astype(dt), kern.astype(dt), (1, 1),
-                         ((3, 3), (3, 3)), (1, 1), bsz * 2 * c)
+        # conv2d routes this depthwise bank conv to the shifted-FMA taps
+        # path on TPU (one fused VPU pass; the grouped-conv op materializes
+        # taps) and to the partition-safe grouped_conv elsewhere
+        y = conv2d(xt.astype(dt), kern.astype(dt), stride=1, padding=3,
+                   groups=bsz * 2 * c)
         y = y.reshape(h, w, bsz, 2 * c).transpose(2, 0, 1, 3)
         bias = jnp.concatenate(
             [jnp.einsum("bk,kd->bd", att1.astype(pd), b1b),

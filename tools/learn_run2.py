@@ -8,7 +8,7 @@
 
 Same deterministic 2-image synthetic rain fixture and CLI drive as
 tools/learn_run.py (which proved Restormer, LEARN_r03.json). Writes
-LEARN_<model>_r04.json with loss/PSNR curves.
+LEARN_<model>_r05.json with loss/PSNR curves.
 
 Usage: python tools/learn_run2.py --model moce_ir [--steps 2000]
 """
@@ -55,7 +55,7 @@ def main():
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--workdir", type=str, default=None)
     args = ap.parse_args()
-    out_path = args.out or f"LEARN_{args.model}_r04.json"
+    out_path = args.out or f"LEARN_{args.model}_r05.json"
 
     work = args.workdir or tempfile.mkdtemp(prefix=f"learn_{args.model}_")
     lq_dir, gt_dir = write_dataset(os.path.join(work, "data"))
