@@ -26,7 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from image_restoration_tpu.models.registry import register_model
-from image_restoration_tpu.ops.common import Conv, ConvParams, conv2d, gelu_exact
+from image_restoration_tpu.ops.common import (
+    Conv,
+    ConvParams,
+    conv2d,
+    gelu_exact,
+    grouped_conv,
+)
 from image_restoration_tpu.ops.fft import FourierUnit
 from image_restoration_tpu.ops.layernorm import LayerNorm2d
 from image_restoration_tpu.ops.resample import pixel_shuffle, resize_bilinear
@@ -233,11 +239,11 @@ class MixFFN(nn.Module):
         wk = jnp.concatenate([wk1, wk2], axis=1)                   # (B,2c,1,7,7)
         xt = xp.transpose(1, 2, 0, 3).reshape(1, h, w, bsz * 2 * c)
         kern = wk.transpose(3, 4, 2, 0, 1).reshape(7, 7, 1, bsz * 2 * c)
-        # conv2d routes this depthwise bank conv to the shifted-FMA taps
-        # path on TPU (one fused VPU pass; the grouped-conv op materializes
-        # taps) and to the partition-safe grouped_conv elsewhere
-        y = conv2d(xt.astype(dt), kern.astype(dt), stride=1, padding=3,
-                   groups=bsz * 2 * c)
+        # NOTE: stays on the grouped-conv op, NOT the shifted-FMA taps path:
+        # at k=7 the 49-tap unroll measured 111 ms/img vs 78 ms for the conv
+        # op at 512^2 x128 on v5e (taps only win for k <= 5; conv2d guards)
+        y = grouped_conv(xt.astype(dt), kern.astype(dt), (1, 1),
+                         ((3, 3), (3, 3)), (1, 1), bsz * 2 * c)
         y = y.reshape(h, w, bsz, 2 * c).transpose(2, 0, 1, 3)
         bias = jnp.concatenate(
             [jnp.einsum("bk,kd->bd", att1.astype(pd), b1b),

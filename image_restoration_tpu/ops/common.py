@@ -349,9 +349,11 @@ def conv2d(
     banks are differentiated!) stays partition-safe."""
     pads = ((padding, padding), (padding, padding))
     if (groups == x.shape[-1] == kernel.shape[-1] and kernel.shape[2] == 1
-            and kernel.shape[0] == kernel.shape[1] <= 7 and stride == 1
+            and kernel.shape[0] == kernel.shape[1] <= 5 and stride == 1
             and jax.default_backend() == "tpu"):
-        # depthwise (e.g. HOGformer's constant Sobel banks): fused VPU taps
+        # depthwise (e.g. HOGformer's constant Sobel banks): fused VPU taps.
+        # k <= 5 only: a 7x7 49-tap unroll measured SLOWER than the conv op
+        # (111 vs 78 ms/img, SRConvNet MixFFN bank at 512^2 x128 on v5e)
         out = _dwconv_taps(x, kernel, padding)
     elif groups > 1:
         out = grouped_conv(x, kernel, (stride, stride), pads, (1, 1), groups)
