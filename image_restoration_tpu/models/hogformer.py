@@ -55,6 +55,12 @@ from image_restoration_tpu.ops.resample import (
 )
 
 
+# A/B knob (import-time, like IR_TPU_PIPE): FFN_DIFF branch-1 phase-mixing
+# implementation — "einsum" (default, 9 per-tap (4x4)-mixing einsums) or
+# "stack" (one 9-tap full-lane pass per output phase + lane-group reduce).
+_FFN_MODE = __import__("os").environ.get("IR_HOG_FFN", "einsum")
+
+
 def _ln_plain(x, ln_type: str, eps: float = 1e-5):
     """Parameter-free LayerNorm (hogformer_arch.py:28-57: affine disabled)."""
     xf = x.astype(jnp.float32)
@@ -190,25 +196,54 @@ class FFN_DIFF(nn.Module):
         # u = 2(a-1) + rho - py + 2, v = 2(b-1) + sig - px + 2
         kb = k5[:, :, 0, :].astype(dt)  # (5, 5, q)
         b_, h_, w_, _ = x1.shape
-        x1v = x1.reshape(b_, h_, w_, q, 4)
-        x1p = jnp.pad(x1v, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
-        acc1 = jnp.zeros((b_, h_, w_, q, 4), dt)
-        for a in range(3):
-            for bb in range(3):
-                # (q, ip, op) phase-mixing matrix for this block shift,
-                # gathered from the 5x5 taps (static routing table)
-                m = jnp.zeros((q, 4, 4), dt)
-                for ip in range(4):
-                    rho, sig = ip // 2, ip % 2
-                    for op in range(4):
-                        py, px = op // 2, op % 2
-                        u = 2 * (a - 1) + rho - py + 2
-                        v = 2 * (bb - 1) + sig - px + 2
-                        if 0 <= u < 5 and 0 <= v < 5:
-                            m = m.at[:, ip, op].set(kb[u, v, :])
-                xs = jax.lax.slice(
-                    x1p, (0, a, bb, 0, 0), (b_, a + h_, bb + w_, q, 4))
-                acc1 = acc1 + jnp.einsum("bhwcp,cpq->bhwcq", xs, m)
+        if _FFN_MODE == "stack":
+            # variant B: one full-lane 9-tap pass per OUTPUT phase with the
+            # source-phase routing baked into a (3,3,4q) tap bank (taps for
+            # out-phase op at lane ch*4+ip = K5[u,v,ch]), then a mod-4
+            # lane-group reduction folds the 4 source phases
+            outs = []
+            x1pad = jnp.pad(x1, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            for op in range(4):
+                py, px = op // 2, op % 2
+                kq = jnp.zeros((3, 3, 4 * q), dt)
+                for a in range(3):
+                    for bb in range(3):
+                        for ip in range(4):
+                            rho, sig = ip // 2, ip % 2
+                            u = 2 * (a - 1) + rho - py + 2
+                            v = 2 * (bb - 1) + sig - px + 2
+                            if 0 <= u < 5 and 0 <= v < 5:
+                                kq = kq.at[a, bb, ip::4].set(kb[u, v, :])
+                t = None
+                for a in range(3):
+                    for bb in range(3):
+                        sl = jax.lax.slice(
+                            x1pad, (0, a, bb, 0),
+                            (b_, a + h_, bb + w_, 4 * q))
+                        term = sl * kq[a, bb]
+                        t = term if t is None else t + term
+                outs.append(t.reshape(b_, h_, w_, q, 4).sum(-1))
+            acc1 = jnp.stack(outs, axis=-1)
+        else:
+            x1v = x1.reshape(b_, h_, w_, q, 4)
+            x1p = jnp.pad(x1v, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+            acc1 = jnp.zeros((b_, h_, w_, q, 4), dt)
+            for a in range(3):
+                for bb in range(3):
+                    # (q, ip, op) phase-mixing matrix for this block shift,
+                    # gathered from the 5x5 taps (static routing table)
+                    m = jnp.zeros((q, 4, 4), dt)
+                    for ip in range(4):
+                        rho, sig = ip // 2, ip % 2
+                        for op in range(4):
+                            py, px = op // 2, op % 2
+                            u = 2 * (a - 1) + rho - py + 2
+                            v = 2 * (bb - 1) + sig - px + 2
+                            if 0 <= u < 5 and 0 <= v < 5:
+                                m = m.at[:, ip, op].set(kb[u, v, :])
+                    xs = jax.lax.slice(
+                        x1p, (0, a, bb, 0, 0), (b_, a + h_, bb + w_, q, 4))
+                    acc1 = acc1 + jnp.einsum("bhwcp,cpq->bhwcq", xs, m)
         if b5 is not None:
             acc1 = acc1 + b5.astype(dt)[None, None, None, :, None]
         x1o = acc1.reshape(b_, h_, w_, 4 * q)
