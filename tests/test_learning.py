@@ -59,3 +59,22 @@ def test_cli_overfit_psnr_rises(tmp_path):
     assert len(psnrs) >= 2
     assert best > psnrs[0] + 6.0, (psnrs, best)
     assert best > 20.0, f"best val PSNR {best} is not approaching the ~19 dB degraded input"
+
+
+def test_learn_artifacts_pinned():
+    """The committed r5 learning artifacts (tools/learn_run2.py on the real
+    chip, VERDICT r4 task 5) must keep proving the HARD training paths:
+    MoCE-IR's noisy top-k routing + balance aux loss + EMA, and
+    NeRD-Rain's 3-scale + INR multi-output recipe, both >28 dB overfit and
+    >8 dB above the degraded input through the full CLI loop."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("LEARN_moce_ir_r05.json", "LEARN_nerd_rain_r05.json"):
+        path = os.path.join(repo, name)
+        assert os.path.exists(path), f"{name} missing"
+        art = json.load(open(path))
+        best = art["best_val_psnr"]
+        gain = best - art["input_psnr"]
+        curve = art["psnr_curve"]
+        assert best > 27.5, (name, best)
+        assert gain > 8.0, (name, gain)
+        assert curve[-1][1] > curve[0][1] + 15.0, (name, curve[:1], curve[-1:])
