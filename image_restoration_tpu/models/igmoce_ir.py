@@ -307,10 +307,11 @@ class IGDecoderBlock(nn.Module):
 
 @register_model("igmoce_ir")
 class IGMoCEIR(nn.Module):
+    """igmoce_ir.py:1008-1142."""
+
     # class-level flag (not a dataclass field): the trainer derives the
     # train=True apply set from this instead of a hardcoded name list
     uses_moe_rng = True
-    """igmoce_ir.py:1008-1142."""
 
     in_channels: int = 3
     out_channels: int = 3

@@ -131,10 +131,11 @@ class LumiDecoderBlock(nn.Module):
 
 @register_model("lumisense_moe")
 class LumiSenseMoEIR(nn.Module):
+    """LimiSenseMoE.py:833-1003."""
+
     # class-level flag (not a dataclass field): the trainer derives the
     # train=True apply set from this instead of a hardcoded name list
     uses_moe_rng = True
-    """LimiSenseMoE.py:833-1003."""
 
     inp_channels: int = 3
     out_channels: int = 3

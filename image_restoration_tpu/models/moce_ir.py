@@ -467,11 +467,12 @@ class FrequencyEmbedding(nn.Module):
 
 @register_model("moce_ir")
 class MoCEIR(nn.Module):
+    """moce_ir_orignal.py:769-887 (+ check_image_size pad from the modified
+    copy, needed for arbitrary eval sizes)."""
+
     # class-level flag (not a dataclass field): the trainer derives the
     # train=True apply set from this instead of a hardcoded name list
     uses_moe_rng = True
-    """moce_ir_orignal.py:769-887 (+ check_image_size pad from the modified
-    copy, needed for arbitrary eval sizes)."""
 
     inp_channels: int = 3
     out_channels: int = 3

@@ -201,10 +201,11 @@ class PatchDecoderBlock(nn.Module):
 
 @register_model("moce_ir_patch")
 class MoCEIRPatch(nn.Module):
+    """moce_ir_patch.py:820-953 MoCEIR with per-patch expert routing."""
+
     # class-level flag (not a dataclass field): the trainer derives the
     # train=True apply set from this instead of a hardcoded name list
     uses_moe_rng = True
-    """moce_ir_patch.py:820-953 MoCEIR with per-patch expert routing."""
 
     inp_channels: int = 3
     out_channels: int = 3

@@ -302,10 +302,11 @@ class MyDecoderBlock(nn.Module):
 
 @register_model("mymodel")
 class MyModel(nn.Module):
+    """model.py:1049-1167."""
+
     # class-level flag (not a dataclass field): the trainer derives the
     # train=True apply set from this instead of a hardcoded name list
     uses_moe_rng = True
-    """model.py:1049-1167."""
 
     inp_channels: int = 3
     out_channels: int = 3
