@@ -75,6 +75,6 @@ def test_learn_artifacts_pinned():
         best = art["best_val_psnr"]
         gain = best - art["input_psnr"]
         curve = art["psnr_curve"]
-        assert best > 27.5, (name, best)
+        assert best > 28.0, (name, best)
         assert gain > 8.0, (name, gain)
         assert curve[-1][1] > curve[0][1] + 15.0, (name, curve[:1], curve[-1:])
