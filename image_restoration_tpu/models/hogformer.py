@@ -56,9 +56,11 @@ from image_restoration_tpu.ops.resample import (
 
 
 # A/B knob (import-time, like IR_TPU_PIPE): FFN_DIFF branch-1 phase-mixing
-# implementation — "einsum" (default, 9 per-tap (4x4)-mixing einsums) or
-# "stack" (one 9-tap full-lane pass per output phase + lane-group reduce).
-_FFN_MODE = __import__("os").environ.get("IR_HOG_FFN", "einsum")
+# implementation — "fold" (default: project_in folded into the mixing as one
+# dense 3x3 MXU conv), "einsum" (9 per-tap (4x4)-mixing einsums on the VPU;
+# benched 0.849 MP/s whole-model) or "stack" (per-output-phase full-lane
+# taps + lane-group reduce; benched 0.78).
+_FFN_MODE = __import__("os").environ.get("IR_HOG_FFN", "fold")
 
 
 def _ln_plain(x, ln_type: str, eps: float = 1e-5):
@@ -183,20 +185,72 @@ class FFN_DIFF(nn.Module):
         q = hidden // 4
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         dt = x.dtype if self.dtype is None else self.dtype
-        xp = Conv(hidden * 2, 1, use_bias=self.use_bias, name="project_in",
-                  **kw)(x)
-        # channels = (ch, py, px) nested: ch*4 + py*2 + px (pixel_shuffle
-        # order); x1 = shuffled channels [0:q) == flat [0:4q)
-        x1, x2 = xp[..., : 4 * q], xp[..., 4 * q :]
-
-        # --- branch 1: 5x5 dw at 2x res -> 9-tap phase-mixing block conv ---
         k5, b5 = ConvParams(q, 1, 5, self.use_bias, self.param_dtype,
                             name="dwconv_5")()
+        if _FFN_MODE == "fold":
+            # project_in declared as params only; its x1 half is folded into
+            # the phase-mixing conv below, its x2 half applied as a matmul
+            pin_w, pin_b = ConvParams(hidden * 2, x.shape[-1], 1,
+                                      self.use_bias, self.param_dtype,
+                                      name="project_in")()
+            pw = pin_w[0, 0].astype(dt)  # (dim_in, 8q)
+            x2 = jnp.einsum("bhwj,jc->bhwc", x.astype(dt), pw[:, 4 * q :])
+            if pin_b is not None:
+                x2 = x2 + pin_b[4 * q :].astype(dt)
+            x1 = None  # produced by the folded conv
+        else:
+            xp = Conv(hidden * 2, 1, use_bias=self.use_bias,
+                      name="project_in", **kw)(x)
+            # channels = (ch, py, px) nested: ch*4 + py*2 + px (pixel_shuffle
+            # order); x1 = shuffled channels [0:q) == flat [0:4q)
+            x1, x2 = xp[..., : 4 * q], xp[..., 4 * q :]
+
+        # --- branch 1: 5x5 dw at 2x res -> 9-tap phase-mixing block conv ---
         # route[a, b, ip, op] selects tap (u, v) of the 5x5 kernel:
         # u = 2(a-1) + rho - py + 2, v = 2(b-1) + sig - px + 2
         kb = k5[:, :, 0, :].astype(dt)  # (5, 5, q)
-        b_, h_, w_, _ = x1.shape
-        if _FFN_MODE == "stack":
+        b_, h_, w_, _ = x.shape
+        if _FFN_MODE == "fold":
+            # project_in (x1 half) folded into the phase-mixing: one DENSE
+            # 3x3 conv (dim_in -> 4q) on the MXU. Mixing tensor
+            # m[a,b,c,ip,op] = K5[u,v,c] with u = 2(a-1)+rho-py+2 etc.;
+            # K_fold[a,b,j,(c,op)] = sum_ip pin_w[j,(c,ip)] * m[a,b,c,ip,op].
+            # Exact: dwconv(shuffle(proj(x))) is linear in x, and zero
+            # padding commutes (proj is 1x1). With bias, the bias's border
+            # attenuation is reproduced by convolving a ones-map with the
+            # bias-folded taps (a constant does NOT stay constant at the
+            # border because pad happens after project_in in the unfolded
+            # order).
+            mix = jnp.zeros((3, 3, q, 4, 4), dt)
+            for a in range(3):
+                for bb in range(3):
+                    for ip in range(4):
+                        rho, sig = ip // 2, ip % 2
+                        for op in range(4):
+                            py, px = op // 2, op % 2
+                            u = 2 * (a - 1) + rho - py + 2
+                            v = 2 * (bb - 1) + sig - px + 2
+                            if 0 <= u < 5 and 0 <= v < 5:
+                                mix = mix.at[a, bb, :, ip, op].set(kb[u, v])
+            p1 = pw[:, : 4 * q].reshape(-1, q, 4)      # (j, c, ip)
+            kfold = jnp.einsum("jcp,abcpq->abjcq", p1, mix)
+            kfold = kfold.reshape(3, 3, -1, 4 * q)
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kfold.shape, ("NHWC", "HWIO", "NHWC"))
+            acc1 = jax.lax.conv_general_dilated(
+                x.astype(dt), kfold, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=dn).reshape(b_, h_, w_, q, 4)
+            if pin_b is not None:
+                bias1 = pin_b[: 4 * q].reshape(q, 4).astype(dt)
+                kbias = jnp.einsum("cp,abcpq->abcq", bias1, mix
+                                   ).reshape(3, 3, 1, 4 * q)
+                ones = jnp.ones((b_, h_, w_, 1), dt)
+                bmap = jax.lax.conv_general_dilated(
+                    ones, kbias, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=jax.lax.conv_dimension_numbers(
+                        ones.shape, kbias.shape, ("NHWC", "HWIO", "NHWC")))
+                acc1 = acc1 + bmap.reshape(b_, h_, w_, q, 4)
+        elif _FFN_MODE == "stack":
             # variant B: one full-lane 9-tap pass per OUTPUT phase with the
             # source-phase routing baked into a (3,3,4q) tap bank (taps for
             # out-phase op at lane ch*4+ip = K5[u,v,ch]), then a mod-4
