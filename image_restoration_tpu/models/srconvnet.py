@@ -63,17 +63,10 @@ class FConvMod(nn.Module):
         # (B,H,W,C) with head-major channels -> logits per (head, ch) over HW
         am = (a * v).reshape(b, h * w, heads, ch)
         am = am * layer_scale.reshape(1, 1, heads, 1).astype(am.dtype)
-        if am.dtype == jnp.bfloat16:
-            # bf16 softmax island with fp32 max/sum accumulation — the
-            # reference runs this exact softmax in fp16 (train.py:69-70
-            # model.half()); fp32 materialization of the (HW, C) logits
-            # costs ~2 extra passes over 67 MB per block at 512^2
-            mx = jnp.max(am.astype(jnp.float32), axis=1, keepdims=True)
-            e = jnp.exp(am - mx.astype(am.dtype))
-            s = jnp.sum(e, axis=1, keepdims=True, dtype=jnp.float32)
-            attn = (e / s.astype(e.dtype)).astype(x.dtype)
-        else:
-            attn = jax.nn.softmax(am.astype(jnp.float32), axis=1).astype(x.dtype)
+        # (A/B r5: a bf16 softmax island measured throughput-neutral — XLA
+        # already keeps the fp32 logits inside the fusion — so the exact
+        # fp32 softmax stays)
+        attn = jax.nn.softmax(am.astype(jnp.float32), axis=1).astype(x.dtype)
         attn = attn.reshape(b, h, w, c) + pos
         out = Conv(c, 1, use_bias=True, name="proj", **kw)(attn)
         return out + shortcut
