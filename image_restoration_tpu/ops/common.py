@@ -151,13 +151,17 @@ class GroupedConv(nn.Module):
         pads = _normalize_conv_padding(self.padding, k, stride, dilation,
                                        spatial_shape=x.shape[1:3])
         if (self.feature_group_count == x.shape[-1] == self.features
+                and x.shape[-1] <= 128
                 and k[0] == k[1] <= 7 and stride == (1, 1)
                 and dilation[0] == dilation[1]
                 and pads[0] == pads[1] and pads[0][0] == pads[0][1]
                 and jax.default_backend() == "tpu"):
             # Depthwise (incl. dilated, e.g. DRSformer MEFC DilConvOps) as
             # shifted FMAs: one fused VPU pass instead of a lax grouped conv,
-            # and partition-safe by construction.
+            # and partition-safe by construction. C <= 128 only: past one
+            # lane granule XLA stops fusing the taps (3x3 over 480 ch at
+            # 512^2 measured 2.98 ms unrolled vs 0.48 ms as the conv op,
+            # tools/profile_qkv2.py r5).
             out = _dwconv_taps(x, kernel, pads[0][0], dilation[0])
             return out if bias is None else out + bias
         out = grouped_conv(x, kernel, stride, pads, dilation,
@@ -215,12 +219,15 @@ class Conv(nn.Module):
                                     self.padding, self.groups)
             return out
         if (self.groups == in_ch == self.features and k <= 7
+                and in_ch <= 128
                 and self.stride == 1 and not isinstance(self.padding, str)
                 and jax.default_backend() == "tpu"):
             # Depthwise small-k conv as k^2 shifted FMAs: XLA fuses the taps
             # into ONE pass over the tensor, measured ~1.5x faster than the
             # conv op at 512^2 serving shapes (0.68 vs 1.0 ms at k=3/C=64 on
             # v5e); also inherently partition-safe (no grouped-conv grad).
+            # C <= 128 only — past one lane granule the taps stop fusing
+            # (6.2x SLOWER at C=480, tools/profile_qkv2.py r5).
             from flax.linen import dtypes as _dtypes
 
             kern, bias = _ConvLeaf(self.features, 1, k, self.use_bias,
@@ -349,6 +356,7 @@ def conv2d(
     banks are differentiated!) stays partition-safe."""
     pads = ((padding, padding), (padding, padding))
     if (groups == x.shape[-1] == kernel.shape[-1] and kernel.shape[2] == 1
+            and x.shape[-1] <= 128
             and kernel.shape[0] == kernel.shape[1] <= 5 and stride == 1
             and jax.default_backend() == "tpu"):
         # depthwise (e.g. HOGformer's constant Sobel banks): fused VPU taps.
