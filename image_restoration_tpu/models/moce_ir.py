@@ -97,11 +97,16 @@ class FFTAttention(nn.Module):
             # then differs by p*p, and irfft-'backward' divides it out again:
             # ortho-ortho-ortho reproduces backward-backward-backward exactly
             # up to the sqrt(p*p) factor applied once below.
-            qr, qi = rfft2_matmul(qp)
-            kr, ki = rfft2_matmul(kp)
+            # at bf16 serving the whole patch-DFT runs bf16 with fp32 MXU
+            # accumulation (FourierUnit's documented trade: half the HBM
+            # traffic, one matmul pass instead of HIGH's three); dtype=None
+            # (parity/eval) keeps the fp32 transform
+            cdt = jnp.bfloat16 if self.dtype == jnp.bfloat16 else None
+            qr, qi = rfft2_matmul(qp, compute_dtype=cdt)
+            kr, ki = rfft2_matmul(kp, compute_dtype=cdt)
             pr = qr * kr - qi * ki
             pi = qr * ki + qi * kr
-            outp = irfft2_matmul(pr, pi, p) * float(p)
+            outp = irfft2_matmul(pr, pi, p, compute_dtype=cdt) * float(p)
             out = outp.reshape(b, hp // p, wp // p, p, p, c)
         else:
             qf = jnp.fft.rfft2(patchify(q).astype(jnp.float32), axes=(3, 4))
